@@ -180,6 +180,12 @@ class DatasetInfo:
     state_weights: Dict[str, float]
     shortnames: Optional[Dict[str, List[str]]] = None
     domain_info: Optional[object] = None
+    # feature-name orderings as produced by Sample.load (static metadata
+    # consumed at trace time by the rollout/losses; the reference defers
+    # this to the first batch, lightning.py:541-545)
+    output_feature_names: Tuple[str, ...] = ()
+    forcing_feature_names: Tuple[str, ...] = ()
+    units_by_feature: Optional[Dict[str, str]] = None
 
     def summary(self):
         print(f"\n Summarizing {self.name}\n")
@@ -506,6 +512,25 @@ class WeatherDataset:
         }
 
     @cached_property
+    def output_feature_names(self) -> Tuple[str, ...]:
+        """Feature order of Item.outputs: params of kind output/input_output
+        in declaration order (mirrors Sample.load's concat order)."""
+        return tuple(
+            self.accessor.parameter_namer(p)
+            for p in self.params
+            if p.kind in ("output", "input_output")
+        )
+
+    @cached_property
+    def forcing_feature_names(self) -> Tuple[str, ...]:
+        """Feature order of Item.forcing: `input` params then the five
+        generated forcings (calendar + solar)."""
+        return tuple(
+            [self.accessor.parameter_namer(p) for p in self.params if p.kind == "input"]
+            + ["cos_hour", "sin_hour", "cos_doy", "sin_doy", "toa_radiation"]
+        )
+
+    @cached_property
     def domain_info(self):
         from py4cast_tpu.plots import DomainInfo
 
@@ -531,6 +556,9 @@ class WeatherDataset:
             stats=self.stats,
             diff_stats=self.diff_stats,
             state_weights=self.state_weights,
+            output_feature_names=self.output_feature_names,
+            forcing_feature_names=self.forcing_feature_names,
+            units_by_feature=self.units,
         )
 
     # ---------------------------------------------------------- constructors

@@ -1,0 +1,227 @@
+"""Loss functions over NamedArray predictions.
+
+TPU-native re-design of the reference loss system (reference:
+py4cast/losses.py). Losses are pure jit-safe callables: per-feature
+weight vectors are precomputed on host at ``prepare()`` time from
+``DatasetInfo`` (names are static), the interior mask rides along as an
+array, and the mask-union correction matches the reference
+(losses.py:156-167, 197-203) so RMSE parity holds.
+
+Losses return per-(batch, timestep) values; ``CombinedLoss`` sums its
+members with config weights (losses.py:263-307).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, List, Optional, Sequence, Tuple
+
+import jax.numpy as jnp
+import numpy as np
+
+#: elementwise losses by their torch-style config names
+ELEMENTWISE: dict = {
+    "MSELoss": lambda a, b: (a - b) ** 2,
+    "L1Loss": lambda a, b: jnp.abs(a - b),
+    "HuberLoss": lambda a, b: jnp.where(
+        jnp.abs(a - b) < 1.0, 0.5 * (a - b) ** 2, jnp.abs(a - b) - 0.5
+    ),
+    "SmoothL1Loss": lambda a, b: jnp.where(
+        jnp.abs(a - b) < 1.0, 0.5 * (a - b) ** 2, jnp.abs(a - b) - 0.5
+    ),
+}
+
+
+def _spatial_axes(ndim: int) -> Tuple[int, ...]:
+    """Spatial axes of a (B, T, *spatial, F) array."""
+    return tuple(range(2, ndim - 1))
+
+
+class Py4CastLoss:
+    """Base: resolves the elementwise loss by name (reference: losses.py:25-31)."""
+
+    def __init__(self, loss: str = "MSELoss", reduction: str = "none", **_):
+        if loss not in ELEMENTWISE:
+            raise NameError(f"Loss: {loss} is not defined; known: {list(ELEMENTWISE)}")
+        self.loss_name = loss
+        self.elementwise: Callable = ELEMENTWISE[loss]
+        self.interior_mask: Optional[jnp.ndarray] = None
+        self.num_interior: float = 0.0
+        self.weights: Optional[jnp.ndarray] = None
+
+    def prepare(self, interior_mask, dataset_info, feature_names: Sequence[str]):
+        raise NotImplementedError
+
+    def __call__(self, prediction, target, mask) -> jnp.ndarray:
+        raise NotImplementedError
+
+    def _union_denominator(self, mask) -> jnp.ndarray:
+        """num_interior corrected by all-invalid spatial points
+        (reference: losses.py:156-167)."""
+        union = jnp.any(
+            mask != 0, axis=(0, 1, mask.ndim - 1)
+        )  # (*spatial,) any over batch/time/features
+        return self.num_interior - jnp.sum(~union)
+
+
+class WeightedLoss(Py4CastLoss):
+    """Per-feature weighted loss, interior-masked spatial mean → (B, T).
+
+    weight[f] = state_weight[f] / diff_std[f]^p, p = 2 for MSE else 1
+    (reference: losses.py:103-169).
+    """
+
+    def prepare(self, interior_mask, dataset_info, feature_names: Sequence[str]):
+        p = 2.0 if self.loss_name == "MSELoss" else 1.0
+        w = np.asarray(
+            [
+                dataset_info.state_weights[n]
+                / (dataset_info.diff_stats[n]["std"] ** p)
+                for n in feature_names
+            ],
+            np.float32,
+        )
+        self.weights = jnp.asarray(w)
+        self.interior_mask = jnp.asarray(
+            np.asarray(interior_mask, np.float32)
+        ).squeeze(-1)  # (*spatial,)
+        self.num_interior = float(np.sum(np.asarray(interior_mask)))
+
+    def __call__(self, prediction, target, mask, reduce_spatial_dim: bool = True):
+        pred, tgt = prediction.array, target.array
+        elem = self.elementwise(pred * mask, tgt * mask)
+        weighted = jnp.sum(elem * self.weights, axis=-1)  # (B, T, *spatial)
+        if not reduce_spatial_dim:
+            return weighted
+        denom = self._union_denominator(mask)
+        sp = tuple(range(2, weighted.ndim))
+        return jnp.sum(weighted * self.interior_mask, axis=sp) / denom
+
+
+class ScaledLoss(Py4CastLoss):
+    """Per-feature std-rescaled loss → (B, T, F); sqrt for MSE (→RMSE)
+    (reference: losses.py:172-210)."""
+
+    def prepare(self, interior_mask, dataset_info, feature_names: Sequence[str]):
+        w = np.asarray(
+            [dataset_info.stats[n]["std"] for n in feature_names], np.float32
+        )
+        self.weights = jnp.asarray(w)
+        self.interior_mask = jnp.asarray(
+            np.asarray(interior_mask, np.float32)
+        )  # (*spatial, 1)
+        self.num_interior = float(np.sum(np.asarray(interior_mask)))
+
+    def __call__(self, prediction, target, mask):
+        pred, tgt = prediction.array, target.array
+        elem = self.elementwise(pred * mask, tgt * mask)  # (B, T, *sp, F)
+        denom = self._union_denominator(mask)
+        sp = _spatial_axes(elem.ndim)
+        mean_loss = jnp.sum(elem * self.interior_mask, axis=sp) / denom  # (B,T,F)
+        if self.loss_name == "MSELoss":
+            mean_loss = jnp.sqrt(mean_loss)
+        return mean_loss * self.weights
+
+
+class PerceptualLossPy4Cast(Py4CastLoss):
+    """Feature-space perceptual loss on min-max-normalized fields.
+
+    The reference wraps mfai's VGG16-based PerceptualLoss
+    (losses.py:213-260). Pretrained VGG weights are not available
+    offline, so this uses a fixed (non-trained) multi-scale random
+    conv feature pyramid — a randomized perceptual metric, which is a
+    known-good proxy (random VGG features correlate strongly with
+    pretrained ones for perceptual distances).
+    """
+
+    def __init__(self, in_channels: int = 1, num_scales: int = 3, **_):
+        self.in_channels = in_channels
+        self.num_scales = num_scales
+        self._kernels = None
+
+    def prepare(self, interior_mask, dataset_info, feature_names: Sequence[str]):
+        rng = np.random.default_rng(0)
+        self._kernels = [
+            jnp.asarray(
+                rng.standard_normal((3, 3, self.in_channels if s == 0 else 32, 32))
+                .astype(np.float32)
+                / np.sqrt(9.0 * (self.in_channels if s == 0 else 32))
+            )
+            for s in range(self.num_scales)
+        ]
+        self._mins = jnp.asarray(
+            [dataset_info.stats[n]["min"] for n in feature_names], jnp.float32
+        )
+        self._maxs = jnp.asarray(
+            [dataset_info.stats[n]["max"] for n in feature_names], jnp.float32
+        )
+        self._means = jnp.asarray(
+            [dataset_info.stats[n]["mean"] for n in feature_names], jnp.float32
+        )
+        self._stds = jnp.asarray(
+            [dataset_info.stats[n]["std"] for n in feature_names], jnp.float32
+        )
+
+    def _normalize(self, x):
+        raw = x * self._stds + self._means
+        return jnp.clip(
+            (raw - self._mins) / (self._maxs - self._mins + 1e-8), 0.0, 1.0
+        )
+
+    def _features(self, x):
+        """x: (N, H, W, C) → list of feature maps."""
+        import jax.lax as lax
+
+        feats = []
+        h = x
+        for k in self._kernels:
+            h = lax.conv_general_dilated(
+                h, k, (1, 1), "SAME", dimension_numbers=("NHWC", "HWIO", "NHWC")
+            )
+            h = jnp.maximum(h, 0.0)
+            feats.append(h)
+            h = h[:, ::2, ::2, :]  # stride-2 downsample between scales
+        return feats
+
+    def __call__(self, prediction, target, mask):
+        pred = self._normalize(prediction.array) * mask
+        tgt = self._normalize(target.array) * mask
+        b, t = pred.shape[:2]
+        pred_flat = pred.reshape((b * t,) + pred.shape[2:])
+        tgt_flat = tgt.reshape((b * t,) + tgt.shape[2:])
+        loss = 0.0
+        for fp, ft in zip(self._features(pred_flat), self._features(tgt_flat)):
+            loss = loss + jnp.mean(
+                (fp - ft) ** 2, axis=tuple(range(1, fp.ndim))
+            )
+        return loss.reshape(b, t)
+
+
+LOSS_CLASSES = {
+    "WeightedLoss": WeightedLoss,
+    "ScaledLoss": ScaledLoss,
+    "PerceptualLossPy4Cast": PerceptualLossPy4Cast,
+}
+
+
+class CombinedLoss(Py4CastLoss):
+    """Weighted sum of losses from a config list of
+    {class, weight, params} dicts (reference: losses.py:263-307)."""
+
+    def __init__(self, losses_config: List[dict]):
+        self.losses = []
+        for conf in losses_config:
+            kls = LOSS_CLASSES[conf["class"]]
+            weight = conf.get("weight", 1.0)
+            kwargs = conf.get("params", {})
+            self.losses.append((kls(**kwargs), weight))
+
+    def prepare(self, interior_mask, dataset_info, feature_names: Sequence[str]):
+        for loss, _ in self.losses:
+            loss.prepare(interior_mask, dataset_info, feature_names)
+
+    def __call__(self, prediction, target, mask, **kwargs):
+        total = None
+        for loss, weight in self.losses:
+            val = weight * loss(prediction, target, mask, **kwargs)
+            total = val if total is None else total + val
+        return total

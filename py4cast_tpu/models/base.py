@@ -1,0 +1,124 @@
+"""Model-layer contract: model types, settings machinery, base module.
+
+TPU-native re-design of the reference model contract (reference:
+mfai ModelABC surface used by py4cast/models.py:78-89 and
+doc/add_features_contribute.md:19-60). Key differences, by design:
+
+- Models are Flax linen modules; the constructor contract is the same
+  four logical arguments ``(num_input_features, num_output_features,
+  input_shape, settings)`` expressed as dataclass fields.
+- Everything is **features-last (NHWC)** — the TPU-preferred layout —
+  so the reference's ``features_second`` transposition logic
+  (lightning.py:592-596) has no equivalent here.
+- Normalization layers are GroupNorm/LayerNorm (stateless), never
+  BatchNorm: no mutable batch statistics to thread through jit and no
+  cross-device stat syncing.
+- GNN models receive their precomputed static graph via a
+  ``graph`` field (see ``models/graph``); the reference's
+  ``rank_zero_setup`` is the host-side ``build_graph`` classmethod.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from enum import Enum
+from typing import Any, Callable, Optional, Tuple
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+
+class ModelType(Enum):
+    CONVOLUTIONAL = "convolutional"
+    VISION_TRANSFORMER = "vision_transformer"
+    GRAPH = "graph"
+
+
+def settings_from_dict(settings_kls, d: Optional[dict]):
+    """Instantiate a settings dataclass from a dict, rejecting unknown keys.
+
+    (reference: py4cast/models.py:50-63)
+    """
+    d = d or {}
+    known = {f.name for f in dataclasses.fields(settings_kls)}
+    unknown = set(d) - known
+    if unknown:
+        raise ValueError(
+            f"Unknown settings for {settings_kls.__name__}: {sorted(unknown)}; "
+            f"accepted: {sorted(known)}"
+        )
+    coerced = {}
+    for f in dataclasses.fields(settings_kls):
+        if f.name in d:
+            v = d[f.name]
+            if isinstance(v, list):
+                v = tuple(v)
+            coerced[f.name] = v
+    return settings_kls(**coerced)
+
+
+class ModelBase(nn.Module):
+    """Base class for all py4cast_tpu models.
+
+    Subclasses set the class attributes below and implement ``__call__``
+    taking a features-last array:
+    - CONVOLUTIONAL / VISION_TRANSFORMER: (B, lat, lon, num_input_features)
+    - GRAPH: (B, ngrid, num_input_features)
+    and return the same layout with ``num_output_features`` channels.
+    """
+
+    num_input_features: int
+    num_output_features: int
+    input_shape: Tuple[int, ...]
+
+    # ---- class attributes (the contract) ----
+    settings_kls = None
+    model_type: ModelType = ModelType.CONVOLUTIONAL
+    supported_num_spatial_dims: Tuple[int, ...] = (2,)
+    features_last: bool = True  # always; NHWC is the TPU-native layout
+    register: bool = False
+
+    @property
+    def num_spatial_dims(self) -> int:
+        return len(self.input_shape)
+
+
+def pad_to_multiple(x: jnp.ndarray, multiple: int) -> Tuple[jnp.ndarray, Tuple[int, int]]:
+    """Zero-pad the two spatial dims of NHWC ``x`` up to a multiple.
+
+    TPU-native analog of the reference's ``autopad`` wrapper (mfai
+    AutoPadTo* used via ``autopad_enabled``): XLA requires static shapes,
+    so padding amounts are computed at trace time from static dims.
+    Returns the padded array and the original (H, W) for cropping back.
+    """
+    h, w = x.shape[1], x.shape[2]
+    ph = (-h) % multiple
+    pw = (-w) % multiple
+    if ph or pw:
+        x = jnp.pad(x, ((0, 0), (0, ph), (0, pw), (0, 0)))
+    return x, (h, w)
+
+
+def crop_to(x: jnp.ndarray, hw: Tuple[int, int]) -> jnp.ndarray:
+    return x[:, : hw[0], : hw[1], :]
+
+
+ACTIVATIONS: dict = {
+    "Identity": lambda x: x,
+    "ReLU": nn.relu,
+    "GELU": nn.gelu,
+    "SiLU": nn.silu,
+    "Tanh": jnp.tanh,
+    "Sigmoid": nn.sigmoid,
+    None: lambda x: x,
+    "null": lambda x: x,
+    "softmax": lambda x: nn.softmax(x, axis=-1),
+}
+
+
+def get_activation(name) -> Callable:
+    if callable(name):
+        return name
+    if name not in ACTIVATIONS:
+        raise ValueError(f"Unknown activation {name!r}; known: {list(ACTIVATIONS)}")
+    return ACTIVATIONS[name]

@@ -1,0 +1,89 @@
+"""Device mesh and sharding helpers — the scale-out layer.
+
+TPU-native replacement for the reference's Lightning-DDP data
+parallelism (reference touchpoints: SURVEY.md §2.3). Design:
+
+- one explicit ``jax.sharding.Mesh`` with axes ``('data', 'spatial')``;
+  pure data parallelism uses shape (n_devices, 1). The spatial axis is
+  reserved for sharding large grids (the 1791×2801 Titan 1S100 case) —
+  XLA inserts halo exchanges for convolutions automatically.
+- parameters are replicated; batches are sharded on the batch axis.
+  Gradient all-reduce over ICI is inserted by XLA from the sharding
+  annotations — no user-level collectives (no NCCL analog needed).
+- multi-host: call ``jax.distributed.initialize`` before ``make_mesh``
+  (see ``maybe_init_distributed``).
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass
+from typing import Optional, Tuple
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+DATA_AXIS = "data"
+SPATIAL_AXIS = "spatial"
+
+
+@dataclass(frozen=True)
+class MeshConfig:
+    """How to lay devices out. data_parallel × spatial must divide the
+    device count; -1 on data_parallel means "all remaining devices"."""
+
+    data_parallel: int = -1
+    spatial: int = 1
+
+
+def maybe_init_distributed():
+    """Initialize multi-host JAX when launched under a multi-process
+    runtime (the JAX analog of torch.distributed init inside Lightning)."""
+    if os.environ.get("JAX_COORDINATOR_ADDRESS"):
+        jax.distributed.initialize()
+
+
+def make_mesh(config: MeshConfig = MeshConfig(), devices=None) -> Mesh:
+    devices = devices if devices is not None else jax.devices()
+    n = len(devices)
+    spatial = max(1, config.spatial)
+    dp = config.data_parallel if config.data_parallel > 0 else n // spatial
+    if dp * spatial != n:
+        raise ValueError(
+            f"mesh {dp}x{spatial} does not match {n} devices; "
+            f"set data_parallel/spatial to divide the device count"
+        )
+    dev_array = np.asarray(devices).reshape(dp, spatial)
+    return Mesh(dev_array, (DATA_AXIS, SPATIAL_AXIS))
+
+
+def batch_sharding(mesh: Mesh, spatial_dims: Tuple[int, ...] = ()) -> NamedSharding:
+    """Sharding for a (B, ...) batch array: batch over 'data', optionally
+    the first spatial dim over 'spatial'."""
+    spec = [DATA_AXIS] + [None] * 16
+    for d in spatial_dims:
+        spec[d] = SPATIAL_AXIS
+    return NamedSharding(mesh, P(*spec[:1]))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(mesh: Mesh, *arrays):
+    """device_put host arrays with batch-axis sharding (one H2D transfer
+    each, split across devices)."""
+    sh = NamedSharding(mesh, P(DATA_AXIS))
+    dp = mesh.shape[DATA_AXIS]
+    for a in arrays:
+        if a is not None and a.shape[0] % dp:
+            raise ValueError(
+                f"Batch size {a.shape[0]} is not divisible by the data-parallel "
+                f"mesh axis ({dp} devices); adjust batch_size or the mesh "
+                f"(MeshConfig.data_parallel)."
+            )
+    out = tuple(
+        None if a is None else jax.device_put(a, sh) for a in arrays
+    )
+    return out if len(out) > 1 else out[0]

@@ -1,0 +1,538 @@
+"""Auto-regressive training module + trainer loop.
+
+TPU-native re-design of the reference's ``AutoRegressiveLightning`` +
+Lightning ``Trainer`` (reference: py4cast/lightning.py:147-1188).
+Architecture:
+
+- ``AutoRegressiveModule`` owns the model, rollout config, loss, and the
+  jit-compiled train/eval/predict steps. Steps are pure functions of
+  (train-state, batch-arrays); sharding annotations on the batch put
+  data parallelism in XLA's hands (gradient all-reduce over ICI comes
+  from the replicated-param/sharded-batch layout — no DDP analog).
+- The AR rollout is a ``lax.scan`` (py4cast_tpu.rollout), not a Python
+  loop: one compiled step body regardless of ``num_pred_steps``.
+- Mixed precision: bf16 activations (TPU-native), fp32 params/optimizer.
+- ``Trainer`` drives epochs, validation, checkpointing (orbax + JSON
+  manifest), early stopping and logging on the host.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import datetime as dt
+import json
+import time
+from dataclasses import dataclass, field
+from functools import partial
+from pathlib import Path
+from typing import Any, Callable, Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from flax.training.train_state import TrainState
+
+from py4cast_tpu.checkpoint import CheckpointManager
+from py4cast_tpu.datasets.base import DatasetInfo, ItemBatch
+from py4cast_tpu.losses import CombinedLoss
+from py4cast_tpu.models import ModelType, build_model_from_settings, get_model_kls_and_settings
+from py4cast_tpu.named_tensor import NamedArray
+from py4cast_tpu.parallel.mesh import make_mesh, MeshConfig, shard_batch, replicated
+from py4cast_tpu.rollout import RolloutConfig, common_features_index, rollout
+from py4cast_tpu.utils import str_to_dtype
+
+
+@dataclass
+class TrainingSettings:
+    """The `model:` config section (reference: config/CLI/model/*.yaml
+    shared keys + lightning.py:152-226 hyperparameters)."""
+
+    model_name: str = "HalfUNet"
+    settings_init_args: Optional[dict] = None
+    losses: List[dict] = field(
+        default_factory=lambda: [
+            {"class": "WeightedLoss", "weight": 1.0, "params": {"loss": "MSELoss"}}
+        ]
+    )
+    training_strategy: str = "diff_ar"
+    num_inter_steps: int = 1
+    num_input_steps: int = 2
+    num_pred_steps_train: int = 1
+    num_pred_steps_val_test: int = 1
+    mask_ratio: float = 0.0
+    mask_on_nan: bool = False
+    learning_rate: float = 1e-3
+    min_learning_rate: float = 3e-7
+    num_warmup_steps: int = 1000
+    betas: Tuple[float, float] = (0.9, 0.95)
+    precision: str = "32"
+    accumulate_grad_batches: int = 1
+    num_samples_to_plot: int = 1
+    io_conf: Optional[str] = None
+    seed: int = 42
+    # `channels_last` has no meaning here: NHWC is the only layout.
+
+
+class AutoRegressiveModule:
+    """Owns model, loss and the jitted step functions for one training run."""
+
+    def __init__(
+        self,
+        settings: TrainingSettings,
+        dataset_info: DatasetInfo,
+        mesh=None,
+    ):
+        self.settings = settings
+        self.dataset_info = dataset_info
+        self.mesh = mesh if mesh is not None else make_mesh(MeshConfig())
+        self.compute_dtype = str_to_dtype.get(settings.precision, jnp.float32)
+
+        statics = dataset_info.statics
+        ds = settings.training_strategy == "downscaling_only"
+
+        # --- model construction (reference: lightning.py:254-306) ---
+        self.num_grid_static_features = statics.grid_statics.dim_size("features")
+        self.num_input_features = (
+            settings.num_input_steps * dataset_info.weather_dim * int(not ds)
+            + self.num_grid_static_features
+            + dataset_info.forcing_dim
+            + int(settings.mask_on_nan)
+        )
+        self.num_output_features = dataset_info.weather_dim
+
+        kls, model_settings = get_model_kls_and_settings(
+            settings.model_name, settings.settings_init_args
+        )
+        self.model_settings = model_settings
+        self.is_graph = kls.model_type == ModelType.GRAPH
+
+        grid_shape = statics.grid_shape
+        input_shape = (
+            (grid_shape[0] * grid_shape[1],) if self.is_graph else tuple(grid_shape)
+        )
+        extra = {}
+        if self.is_graph:
+            # host-side static graph build — the analog of the reference's
+            # rank_zero_setup (lightning.py:141-144, 271)
+            extra["graph"] = kls.build_graph(model_settings, statics.meshgrid)
+        self.model = build_model_from_settings(
+            settings.model_name,
+            self.num_input_features,
+            self.num_output_features,
+            model_settings,
+            input_shape,
+            **extra,
+        )
+
+        # --- static rollout inputs ---
+        if self.is_graph:
+            statics = statics.flatten_spatial()
+        self.grid_statics = jnp.asarray(
+            np.asarray(statics.grid_statics.array, np.float32)
+        )
+        self.border_mask = jnp.asarray(
+            np.asarray(statics.border_mask, np.float32)
+        )
+        self.interior_mask_np = np.asarray(statics.interior_mask, np.float32)
+
+        out_names = tuple(dataset_info.output_feature_names)
+        forcing_names = tuple(dataset_info.forcing_feature_names)
+        self.output_feature_names = out_names
+        self.forcing_feature_names = forcing_names
+        self.step_diff_mean = jnp.asarray(
+            dataset_info.diff_stats.to_array("mean", out_names)
+        )
+        self.step_diff_std = jnp.asarray(
+            dataset_info.diff_stats.to_array("std", out_names)
+        )
+        self.stats_mean = jnp.asarray(dataset_info.stats.to_array("mean", out_names))
+        self.stats_std = jnp.asarray(dataset_info.stats.to_array("std", out_names))
+
+        self.rollout_cfg = RolloutConfig(
+            strategy=settings.training_strategy,
+            num_inter_steps=settings.num_inter_steps,
+            num_input_steps=settings.num_input_steps,
+            mask_on_nan=settings.mask_on_nan,
+            mask_ratio=settings.mask_ratio,
+            common_features_idx=common_features_index(out_names, forcing_names),
+        )
+
+        # --- loss (reference: lightning.py:305-306) ---
+        self.loss = CombinedLoss(settings.losses)
+        self.loss.prepare(self.interior_mask_np, dataset_info, out_names)
+
+        self._jit_cache: Dict[Any, Callable] = {}
+
+    # ------------------------------------------------------------------ setup
+    def init_params(self, rng: jax.Array):
+        spatial = self.model.input_shape
+        x = jnp.zeros((1,) + spatial + (self.num_input_features,), jnp.float32)
+        return self.model.init(rng, x)
+
+    def make_optimizer(self, num_training_steps: int) -> optax.GradientTransformation:
+        """AdamW + warmup-cosine-with-min-lr (reference: lightning.py:442-467)."""
+        s = self.settings
+        schedule = optax.warmup_cosine_decay_schedule(
+            init_value=0.0,
+            peak_value=s.learning_rate,
+            warmup_steps=s.num_warmup_steps,
+            decay_steps=max(num_training_steps, s.num_warmup_steps + 1),
+            end_value=s.min_learning_rate,
+        )
+        self._schedule = schedule
+        tx = optax.adamw(schedule, b1=s.betas[0], b2=s.betas[1])
+        if s.accumulate_grad_batches > 1:
+            tx = optax.MultiSteps(tx, every_k_schedule=s.accumulate_grad_batches)
+        return tx
+
+    def init_state(self, rng: jax.Array, num_training_steps: int) -> TrainState:
+        params = self.init_params(rng)
+        state = TrainState.create(
+            apply_fn=self.model.apply,
+            params=params,
+            tx=self.make_optimizer(num_training_steps),
+        )
+        return jax.device_put(state, replicated(self.mesh))
+
+    def num_params(self, state: TrainState) -> int:
+        return sum(int(p.size) for p in jax.tree.leaves(state.params))
+
+    # ----------------------------------------------------------------- pieces
+    def _model_apply(self, params):
+        """Features-last model application with bf16 activation policy."""
+
+        def apply(x):
+            if self.compute_dtype != jnp.float32:
+                x = x.astype(self.compute_dtype)
+            y = self.model.apply(params, x)
+            return y.astype(jnp.float32)
+
+        return apply
+
+    def _flatten_graph(self, arr: Optional[jnp.ndarray]):
+        """(B, T, lat, lon, F) → (B, T, ngrid, F) for GRAPH models."""
+        if arr is None or not self.is_graph:
+            return arr
+        b, t = arr.shape[:2]
+        return arr.reshape(b, t, -1, arr.shape[-1])
+
+    def _rollout(self, params, inputs, forcing, outputs, num_pred_steps, rng):
+        return rollout(
+            self._model_apply(params),
+            inputs,
+            forcing,
+            outputs,
+            self.grid_statics,
+            self.border_mask,
+            self.step_diff_mean,
+            self.step_diff_std,
+            self.rollout_cfg,
+            num_pred_steps,
+            rng,
+        )
+
+    def _mask_and_target(self, outputs):
+        """NaN mask + zero-filled target (reference: lightning.py:786-797)."""
+        if self.settings.mask_on_nan:
+            mask = (~jnp.isnan(outputs)).astype(jnp.float32)
+            return mask, jnp.nan_to_num(outputs, nan=0.0)
+        return jnp.ones_like(outputs), outputs
+
+    def _named(self, arr) -> NamedArray:
+        spatial = ("ngrid",) if self.is_graph else ("lat", "lon")
+        return NamedArray(
+            arr,
+            ("batch", "timestep") + spatial + ("features",),
+            self.output_feature_names,
+        )
+
+    def _batch_loss(self, params, inputs, forcing, outputs, num_pred_steps, rng):
+        preds = self._rollout(params, inputs, forcing, outputs, num_pred_steps, rng)
+        mask, target = self._mask_and_target(outputs)
+        per_step = self.loss(self._named(preds), self._named(target), mask)
+        return jnp.mean(per_step), (preds, per_step)
+
+    # ------------------------------------------------------------------ steps
+    def _get_jitted(self, kind: str, num_pred_steps: int):
+        key = (kind, num_pred_steps)
+        if key in self._jit_cache:
+            return self._jit_cache[key]
+
+        if kind == "train":
+
+            def step(state: TrainState, inputs, forcing, outputs, rng):
+                grad_fn = jax.value_and_grad(self._batch_loss, has_aux=True)
+                (loss, _), grads = grad_fn(
+                    state.params, inputs, forcing, outputs, num_pred_steps, rng
+                )
+                return state.apply_gradients(grads=grads), loss
+
+            fn = jax.jit(step, donate_argnums=(0,))
+        elif kind == "eval":
+
+            def step(state: TrainState, inputs, forcing, outputs, rng):
+                loss, (preds, per_step) = self._batch_loss(
+                    state.params, inputs, forcing, outputs, num_pred_steps, rng
+                )
+                # (T,) per-timestep loss averaged over batch
+                return preds, jnp.mean(per_step, axis=0), loss
+
+            fn = jax.jit(step)
+        elif kind == "predict":
+
+            def step(state: TrainState, inputs, forcing, rng):
+                preds = self._rollout(
+                    state.params, inputs, forcing, None, num_pred_steps, rng
+                )
+                # de-normalize (reference: lightning.py:1164-1169)
+                return preds * self.stats_std + self.stats_mean
+
+            fn = jax.jit(step)
+        else:
+            raise ValueError(kind)
+        self._jit_cache[key] = fn
+        return fn
+
+    def _batch_arrays(self, batch: ItemBatch, with_outputs: bool = True):
+        inputs = self._flatten_graph(
+            jnp.asarray(np.asarray(batch.inputs.array, np.float32))
+            if batch.inputs is not None
+            else None
+        )
+        forcing = self._flatten_graph(
+            jnp.asarray(np.asarray(batch.forcing.array, np.float32))
+        )
+        outputs = (
+            self._flatten_graph(jnp.asarray(np.asarray(batch.outputs.array, np.float32)))
+            if with_outputs
+            else None
+        )
+        if inputs is None:
+            # downscaling-only datasets may have no prognostic inputs:
+            # the window is a zero placeholder with output feature width
+            b = forcing.shape[0]
+            spatial = forcing.shape[2:-1]
+            inputs = jnp.zeros(
+                (b, self.settings.num_input_steps) + spatial
+                + (self.num_output_features,),
+                jnp.float32,
+            )
+        if with_outputs:
+            return shard_batch(self.mesh, inputs, forcing, outputs)
+        inputs, forcing = shard_batch(self.mesh, inputs, forcing)
+        return inputs, forcing, None
+
+    def train_step(self, state, batch: ItemBatch, rng):
+        inputs, forcing, outputs = self._batch_arrays(batch)
+        fn = self._get_jitted("train", batch.num_pred_steps)
+        return fn(state, inputs, forcing, outputs, rng)
+
+    def eval_step(self, state, batch: ItemBatch, rng):
+        inputs, forcing, outputs = self._batch_arrays(batch)
+        fn = self._get_jitted("eval", batch.num_pred_steps)
+        return fn(state, inputs, forcing, outputs, rng)
+
+    def predict_step(self, state, batch: ItemBatch, rng):
+        inputs, forcing, _ = self._batch_arrays(batch, with_outputs=False)
+        fn = self._get_jitted("predict", batch.num_pred_steps)
+        preds = fn(state, inputs, forcing, rng)
+        return self._named(preds)
+
+    # --------------------------------------------------------------- manifest
+    def manifest(self) -> dict:
+        """Self-describing artifact metadata (reference: lightning.py:338-354)."""
+        spatial = ("ngrid",) if self.is_graph else ("lat", "lon")
+        return {
+            "framework": "py4cast_tpu",
+            "model_name": self.settings.model_name,
+            "model_settings": self.model_settings,
+            "training_settings": dataclasses.asdict(self.settings),
+            "dataset": self.dataset_info.name,
+            "input_feature_names": list(self.output_feature_names),
+            "output_feature_names": list(self.output_feature_names),
+            "forcing_feature_names": list(self.forcing_feature_names),
+            "output_dim_names": ["batch", "timestep", *spatial, "features"],
+            "output_dtype": "float32",
+            "stats": {
+                n: self.dataset_info.stats[n] for n in self.output_feature_names
+            },
+            "diff_stats": {
+                n: self.dataset_info.diff_stats[n]
+                for n in self.output_feature_names
+                if n in self.dataset_info.diff_stats
+            },
+            "grid_shape": list(self.dataset_info.statics.grid_shape),
+            "units": self.dataset_info.units_by_feature,
+        }
+
+
+@dataclass
+class TrainerConfig:
+    """The `trainer:` config section (reference: config/CLI/trainer.yaml)."""
+
+    max_epochs: int = 1
+    batch_size: int = 1
+    num_workers: int = 2
+    prefetch_factor: int = 2
+    limit_train_batches: Optional[int] = None
+    limit_val_batches: Optional[int] = None
+    check_val_every_n_epoch: int = 1
+    early_stopping_patience: int = 50
+    save_path: str = "runs/default"
+    log_every_n_steps: int = 10
+    profiler: Optional[str] = None  # None | "simple" | "jax"
+    fast_dev_run: bool = False
+    seed: int = 42
+
+
+class Trainer:
+    """Host-side epoch loop: fit / test / predict.
+
+    Mirrors the Lightning Trainer surface the reference uses
+    (fit → train+val+ckpt, test → scoring, predict → product export).
+    """
+
+    def __init__(self, config: TrainerConfig, loggers=None):
+        self.config = config
+        self.save_path = Path(config.save_path)
+        self.save_path.mkdir(parents=True, exist_ok=True)
+        self.loggers = loggers if loggers is not None else []
+
+    def _log(self, tag: str, value: float, step: int):
+        for lg in self.loggers:
+            lg.log_scalar(tag, value, step)
+
+    def fit(
+        self,
+        module: AutoRegressiveModule,
+        train_ds,
+        val_ds,
+        ckpt_path: Optional[str] = None,
+    ):
+        cfg = self.config
+        rng = jax.random.key(module.settings.seed)
+
+        train_loader = train_ds.loader(
+            batch_size=cfg.batch_size,
+            num_workers=cfg.num_workers,
+            shuffle=True,
+            prefetch=cfg.prefetch_factor,
+            seed=cfg.seed,
+        )
+        val_loader = val_ds.loader(
+            batch_size=cfg.batch_size, num_workers=cfg.num_workers
+        )
+        steps_per_epoch = len(train_loader)
+        if cfg.limit_train_batches:
+            steps_per_epoch = min(steps_per_epoch, cfg.limit_train_batches)
+        max_epochs = 1 if cfg.fast_dev_run else cfg.max_epochs
+        num_training_steps = max(1, steps_per_epoch * max_epochs)
+
+        state = module.init_state(rng, num_training_steps)
+        ckpt = CheckpointManager(self.save_path / "checkpoints", module.manifest())
+        if ckpt_path:
+            state = ckpt.restore(ckpt_path, state)
+            print(f"Resumed from checkpoint {ckpt_path}")
+
+        print(
+            f"Model: {module.settings.model_name} | params: "
+            f"{module.num_params(state)/1e6:.2f}M | strategy: "
+            f"{module.settings.training_strategy} | devices: "
+            f"{module.mesh.devices.size}"
+        )
+
+        global_step = 0
+        epochs_no_improve = 0
+        for epoch in range(max_epochs):
+            # ------------------------------ train
+            t0 = time.perf_counter()
+            losses = []
+            for i, batch in enumerate(train_loader):
+                if cfg.limit_train_batches and i >= cfg.limit_train_batches:
+                    break
+                if cfg.fast_dev_run and i >= 1:
+                    break
+                rng, step_rng = jax.random.split(rng)
+                state, loss = module.train_step(state, batch, step_rng)
+                losses.append(loss)
+                global_step += 1
+                if global_step % cfg.log_every_n_steps == 0:
+                    self._log("train/loss", float(loss), global_step)
+            train_loss = float(np.mean([float(l) for l in losses])) if losses else float("nan")
+            dt_train = time.perf_counter() - t0
+            sps = len(losses) * cfg.batch_size / max(dt_train, 1e-9)
+            self._log("mean_loss_epoch/train", train_loss, global_step)
+            self._log("train/samples_per_sec", sps, global_step)
+
+            # ------------------------------ validate
+            val_loss = float("nan")
+            if (epoch + 1) % cfg.check_val_every_n_epoch == 0 or cfg.fast_dev_run:
+                vlosses = []
+                for i, batch in enumerate(val_loader):
+                    if cfg.limit_val_batches and i >= cfg.limit_val_batches:
+                        break
+                    if cfg.fast_dev_run and i >= 1:
+                        break
+                    rng, step_rng = jax.random.split(rng)
+                    _, per_step, loss = module.eval_step(state, batch, step_rng)
+                    vlosses.append(float(loss))
+                val_loss = float(np.mean(vlosses)) if vlosses else float("nan")
+                self._log("val_mean_loss", val_loss, global_step)
+                self._log("mean_loss_epoch/validation", val_loss, global_step)
+
+            print(
+                f"epoch {epoch + 1}/{max_epochs} "
+                f"train_loss={train_loss:.5f} val_loss={val_loss:.5f} "
+                f"({sps:.2f} samples/s)"
+            )
+
+            # ------------------------------ checkpoint + early stop
+            if not cfg.fast_dev_run:
+                ckpt.save_last(state)
+                if not np.isnan(val_loss):
+                    if ckpt.maybe_save_best(state, val_loss):
+                        epochs_no_improve = 0
+                    else:
+                        epochs_no_improve += 1
+                    if epochs_no_improve >= cfg.early_stopping_patience:
+                        print(f"Early stopping at epoch {epoch + 1}")
+                        break
+        return state
+
+    def test(self, module: AutoRegressiveModule, test_ds, state):
+        """Scoring loop: per-timestep losses + metric accumulation
+        (reference: lightning.py:995-1099)."""
+        cfg = self.config
+        rng = jax.random.key(0)
+        loader = test_ds.loader(batch_size=cfg.batch_size, num_workers=cfg.num_workers)
+        per_step_losses = []
+        for i, batch in enumerate(loader):
+            if cfg.limit_val_batches and i >= cfg.limit_val_batches:
+                break
+            rng, step_rng = jax.random.split(rng)
+            _, per_step, _ = module.eval_step(state, batch, step_rng)
+            per_step_losses.append(np.asarray(per_step))
+        if not per_step_losses:
+            return {}
+        mean_per_step = np.mean(np.stack(per_step_losses), axis=0)
+        scores = {
+            f"timestep_losses/test_step_{s}": float(v)
+            for s, v in enumerate(mean_per_step)
+        }
+        scores["test_mean_loss"] = float(np.mean(mean_per_step))
+        with open(self.save_path / "test_scores.json", "w") as f:
+            json.dump(scores, f, indent=1)
+        for k, v in scores.items():
+            self._log(k, v, 0)
+        return scores
+
+    def predict(self, module: AutoRegressiveModule, infer_ds, state) -> List[NamedArray]:
+        cfg = self.config
+        rng = jax.random.key(0)
+        loader = infer_ds.loader(batch_size=cfg.batch_size, num_workers=cfg.num_workers)
+        preds = []
+        for batch in loader:
+            rng, step_rng = jax.random.split(rng)
+            preds.append(module.predict_step(state, batch, step_rng))
+        return preds

@@ -1,12 +1,13 @@
 """Test configuration: run JAX on a virtual 8-device CPU mesh.
 
-Must set XLA flags before jax initializes — this file is imported by
-pytest before any test module imports jax.
+The environment may pin JAX_PLATFORMS to a TPU plugin (e.g. axon), and a
+sitecustomize may set jax.config.jax_platforms directly — so we both
+override the env var and force the config after import.
 """
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
@@ -16,11 +17,13 @@ if "xla_force_host_platform_device_count" not in flags:
 # keep test caches out of the user's real data root
 os.environ.setdefault("PY4CAST_TPU_ROOTDIR", "/tmp/py4cast_tpu_tests")
 
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+
 import pytest  # noqa: E402
 
 
 @pytest.fixture(scope="session")
 def cpu_devices():
-    import jax
-
     return jax.devices()

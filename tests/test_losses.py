@@ -1,0 +1,106 @@
+"""Loss numerics vs hand-computed numpy references (semantics from
+reference: py4cast/losses.py:103-210)."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from py4cast_tpu.losses import CombinedLoss, ScaledLoss, WeightedLoss
+from py4cast_tpu.named_tensor import NamedArray
+
+B, T, H, W, F = 2, 3, 6, 6, 2
+FEATS = ("a_500_isobaricInhPa", "b_850_isobaricInhPa")
+
+
+class FakeInfo:
+    state_weights = {FEATS[0]: 1.0, FEATS[1]: 0.5}
+    diff_stats = {FEATS[0]: {"std": 2.0, "mean": 0.0}, FEATS[1]: {"std": 1.0, "mean": 0.0}}
+    stats = {
+        FEATS[0]: {"std": 3.0, "mean": 1.0, "min": -9.0, "max": 9.0},
+        FEATS[1]: {"std": 1.5, "mean": 0.0, "min": -9.0, "max": 9.0},
+    }
+
+
+def _named(arr):
+    return NamedArray(arr, ("batch", "timestep", "lat", "lon", "features"), FEATS)
+
+
+@pytest.fixture
+def data():
+    rng = np.random.default_rng(0)
+    pred = rng.standard_normal((B, T, H, W, F)).astype(np.float32)
+    tgt = rng.standard_normal((B, T, H, W, F)).astype(np.float32)
+    interior = np.ones((H, W, 1), np.float32)
+    interior[0] = 0.0  # first row is border
+    return pred, tgt, interior
+
+
+def test_weighted_mse_matches_numpy(data):
+    pred, tgt, interior = data
+    loss = WeightedLoss("MSELoss")
+    loss.prepare(interior, FakeInfo(), FEATS)
+    mask = np.ones_like(pred)
+    got = np.asarray(loss(_named(jnp.asarray(pred)), _named(jnp.asarray(tgt)), jnp.asarray(mask)))
+
+    w = np.asarray([1.0 / 2.0**2, 0.5 / 1.0**2])
+    elem = (pred - tgt) ** 2
+    weighted = (elem * w).sum(-1)
+    expect = (weighted * interior[..., 0]).sum(axis=(2, 3)) / interior.sum()
+    np.testing.assert_allclose(got, expect, rtol=1e-5)
+    assert got.shape == (B, T)
+
+
+def test_weighted_loss_union_mask_correction(data):
+    """Spatial points invalid across ALL batch/time/features shrink the
+    denominator (reference: losses.py:156-167)."""
+    pred, tgt, interior = data
+    loss = WeightedLoss("MSELoss")
+    loss.prepare(interior, FakeInfo(), FEATS)
+    mask = np.ones_like(pred)
+    mask[:, :, 3, 3, :] = 0.0  # one interior point fully invalid
+    got = np.asarray(loss(_named(jnp.asarray(pred)), _named(jnp.asarray(tgt)), jnp.asarray(mask)))
+
+    w = np.asarray([0.25, 0.5])
+    weighted = (((pred * mask) - (tgt * mask)) ** 2 * w).sum(-1)
+    expect = (weighted * interior[..., 0]).sum(axis=(2, 3)) / (interior.sum() - 1)
+    np.testing.assert_allclose(got, expect, rtol=1e-5)
+
+
+def test_scaled_rmse_matches_numpy(data):
+    pred, tgt, interior = data
+    loss = ScaledLoss("MSELoss")
+    loss.prepare(interior, FakeInfo(), FEATS)
+    mask = np.ones_like(pred)
+    got = np.asarray(loss(_named(jnp.asarray(pred)), _named(jnp.asarray(tgt)), jnp.asarray(mask)))
+
+    elem = (pred - tgt) ** 2
+    mean = (elem * interior).sum(axis=(2, 3)) / interior.sum()
+    expect = np.sqrt(mean) * np.asarray([3.0, 1.5])
+    np.testing.assert_allclose(got, expect, rtol=1e-5)
+    assert got.shape == (B, T, F)
+
+
+def test_combined_loss_weighted_sum(data):
+    pred, tgt, interior = data
+    combined = CombinedLoss(
+        [
+            {"class": "WeightedLoss", "weight": 2.0, "params": {"loss": "MSELoss"}},
+            {"class": "WeightedLoss", "weight": 1.0, "params": {"loss": "L1Loss"}},
+        ]
+    )
+    combined.prepare(interior, FakeInfo(), FEATS)
+    single_mse = WeightedLoss("MSELoss")
+    single_mse.prepare(interior, FakeInfo(), FEATS)
+    single_l1 = WeightedLoss("L1Loss")
+    single_l1.prepare(interior, FakeInfo(), FEATS)
+
+    mask = jnp.ones_like(pred)
+    p, t = _named(jnp.asarray(pred)), _named(jnp.asarray(tgt))
+    got = np.asarray(combined(p, t, mask))
+    expect = 2.0 * np.asarray(single_mse(p, t, mask)) + np.asarray(single_l1(p, t, mask))
+    np.testing.assert_allclose(got, expect, rtol=1e-5)
+
+
+def test_unknown_loss_name_raises():
+    with pytest.raises(NameError):
+        WeightedLoss("NopeLoss")

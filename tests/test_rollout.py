@@ -1,0 +1,206 @@
+"""Rollout-engine semantics tests (strategy math, border forcing, window
+shift, NaN masking) — mirrors the behavioral contract of the reference's
+``_common_step`` (reference: py4cast/lightning.py:495-785)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from py4cast_tpu.rollout import (
+    RolloutConfig,
+    common_features_index,
+    rollout,
+)
+
+B, H, W, F = 2, 8, 8, 3
+N_IN = 2
+STATICS = np.zeros((H, W, 4), np.float32)
+BORDER = np.zeros((H, W, 1), np.float32)
+BORDER[:2] = 1.0
+
+
+def _run(cfg, model_apply, num_pred_steps=3, outputs="zeros", ff=2):
+    rng = np.random.default_rng(0)
+    inputs = jnp.asarray(rng.standard_normal((B, N_IN, H, W, F)), jnp.float32)
+    forcing = jnp.asarray(
+        rng.standard_normal((B, num_pred_steps, H, W, ff)), jnp.float32
+    )
+    outs = (
+        None
+        if outputs is None
+        else jnp.asarray(rng.standard_normal((B, num_pred_steps, H, W, F)), jnp.float32)
+    )
+    mean = jnp.asarray([0.1, -0.2, 0.0])
+    std = jnp.asarray([2.0, 1.0, 0.5])
+    preds = rollout(
+        model_apply,
+        inputs,
+        forcing,
+        outs,
+        jnp.asarray(STATICS),
+        jnp.asarray(BORDER),
+        mean,
+        std,
+        cfg,
+        num_pred_steps,
+    )
+    return inputs, forcing, outs, preds, mean, std
+
+
+def test_diff_ar_accumulates_increment():
+    """With a constant-increment model, diff_ar must produce
+    x_{t+k} = x_t + k * delta."""
+    delta = 0.5
+
+    def model(x):
+        return jnp.full(x.shape[:-1] + (F,), delta)
+
+    cfg = RolloutConfig(strategy="diff_ar", num_input_steps=N_IN)
+    inputs, _, _, preds, _, _ = _run(cfg, model)
+    last_in = np.asarray(inputs[:, -1])
+    for t in range(3):
+        np.testing.assert_allclose(
+            np.asarray(preds[:, t]), last_in + (t + 1) * delta, rtol=1e-5
+        )
+
+
+def test_scaled_ar_scales_and_forces_border():
+    """scaled_ar: increment is y*diff_std + diff_mean and the border rows
+    are overwritten with ground truth."""
+
+    def model(x):
+        return jnp.ones(x.shape[:-1] + (F,))
+
+    cfg = RolloutConfig(strategy="scaled_ar", num_input_steps=N_IN)
+    inputs, _, outs, preds, mean, std = _run(cfg, model, num_pred_steps=1)
+    expected_interior = np.asarray(inputs[:, -1]) + np.asarray(std) + np.asarray(mean)
+    # interior matches the scaled update
+    np.testing.assert_allclose(
+        np.asarray(preds[:, 0, 2:]), expected_interior[:, 2:], rtol=1e-5
+    )
+    # border matches ground truth
+    np.testing.assert_allclose(
+        np.asarray(preds[:, 0, :2]), np.asarray(outs[:, 0, :2]), rtol=1e-5
+    )
+
+
+def test_scaled_ar_inference_disables_border_forcing():
+    def model(x):
+        return jnp.ones(x.shape[:-1] + (F,))
+
+    cfg = RolloutConfig(strategy="scaled_ar", num_input_steps=N_IN)
+    inputs, _, _, preds, mean, std = _run(cfg, model, num_pred_steps=1, outputs=None)
+    expected = np.asarray(inputs[:, -1]) + np.asarray(std) + np.asarray(mean)
+    np.testing.assert_allclose(np.asarray(preds[:, 0]), expected, rtol=1e-5)
+
+
+def test_window_shift_feeds_previous_predictions():
+    """The model must see [x_{t-1}, x_t] in its input at step t+1."""
+    seen = []
+
+    def model(x):
+        seen.append(x.shape)
+        return jnp.zeros(x.shape[:-1] + (F,))
+
+    cfg = RolloutConfig(strategy="diff_ar", num_input_steps=N_IN)
+    _run(cfg, model)
+    # input features = n_in*F + statics + forcing
+    assert seen[0][-1] == N_IN * F + STATICS.shape[-1] + 2
+
+
+def test_downscaling_only_reconstructs_from_forcing():
+    """downscaling_only: prediction = coarse forcing (matched features) + y,
+    and prev states are NOT part of the model input."""
+    widths = []
+
+    def model(x):
+        widths.append(x.shape[-1])
+        return jnp.full(x.shape[:-1] + (F,), 0.25)
+
+    # forcing features match output names on the suffix after the
+    # model-prefix token (e.g. aro_t2m_2_height vs arp_t2m_2_height)
+    out_names = [f"aro_var{i}_500_isobaricInhPa" for i in range(F)]
+    forcing_names = [f"arp_var{i}_500_isobaricInhPa" for i in range(F)] + ["toa"]
+    idx = common_features_index(out_names, forcing_names)
+    assert idx == (0, 1, 2)
+
+    cfg = RolloutConfig(
+        strategy="downscaling_only",
+        num_input_steps=N_IN,
+        common_features_idx=idx,
+    )
+    _, forcing, _, preds, _, _ = _run(cfg, model, num_pred_steps=2, ff=4)
+    np.testing.assert_allclose(
+        np.asarray(preds[:, 1]),
+        np.asarray(forcing[:, 1, :, :, :F]) + 0.25,
+        rtol=1e-5,
+    )
+    # model input excludes prev states: statics + forcing only
+    assert widths[0] == STATICS.shape[-1] + 4
+
+
+def test_diff_ar_rejects_inter_steps():
+    with pytest.raises(ValueError):
+        RolloutConfig(strategy="diff_ar", num_inter_steps=3)
+
+
+def test_mask_on_nan_adds_validity_feature_and_zero_fills():
+    got_width = []
+
+    def model(x):
+        got_width.append(x.shape[-1])
+        # any NaN leaking into x would propagate to the prediction here
+        s = jnp.sum(x, axis=-1, keepdims=True)
+        return jnp.broadcast_to(s, x.shape[:-1] + (F,)) * 0.01
+
+    cfg = RolloutConfig(strategy="diff_ar", num_input_steps=N_IN, mask_on_nan=True)
+    rng = np.random.default_rng(0)
+    inputs = rng.standard_normal((B, N_IN, H, W, F)).astype(np.float32)
+    inputs[0, 0, 0, 0, 0] = np.nan
+    forcing = rng.standard_normal((B, 1, H, W, 2)).astype(np.float32)
+    outs = rng.standard_normal((B, 1, H, W, F)).astype(np.float32)
+    preds = rollout(
+        model,
+        jnp.asarray(inputs),
+        jnp.asarray(forcing),
+        jnp.asarray(outs),
+        jnp.asarray(STATICS),
+        jnp.asarray(BORDER),
+        jnp.zeros(F),
+        jnp.ones(F),
+        cfg,
+        1,
+    )
+    assert got_width[0] == N_IN * F + STATICS.shape[-1] + 2 + 1
+    assert not np.any(np.isnan(np.asarray(preds)))
+
+
+def test_rollout_is_jittable_and_scans():
+    def model(x):
+        return x[..., :F] * 0.9
+
+    cfg = RolloutConfig(strategy="diff_ar", num_input_steps=N_IN)
+
+    @jax.jit
+    def run(inputs, forcing, outs):
+        return rollout(
+            model,
+            inputs,
+            forcing,
+            outs,
+            jnp.asarray(STATICS),
+            jnp.asarray(BORDER),
+            jnp.zeros(F),
+            jnp.ones(F),
+            cfg,
+            4,
+        )
+
+    rng = np.random.default_rng(0)
+    preds = run(
+        jnp.asarray(rng.standard_normal((B, N_IN, H, W, F)), jnp.float32),
+        jnp.asarray(rng.standard_normal((B, 4, H, W, 2)), jnp.float32),
+        jnp.asarray(rng.standard_normal((B, 4, H, W, F)), jnp.float32),
+    )
+    assert preds.shape == (B, 4, H, W, F)

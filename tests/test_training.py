@@ -1,0 +1,93 @@
+"""End-to-end training tests on the dummy dataset — the analog of the
+reference CI's fit/resume/test/predict runs (reference:
+.github/workflows/tests.yml:46-59)."""
+
+import numpy as np
+import pytest
+
+from py4cast_tpu.datasets import get_datasets
+from py4cast_tpu.training import (
+    AutoRegressiveModule,
+    Trainer,
+    TrainerConfig,
+    TrainingSettings,
+)
+
+
+@pytest.fixture(scope="module")
+def datasets():
+    return get_datasets("dummy", 2, 1, 3)
+
+
+def _settings(**kw):
+    base = dict(
+        model_name="HalfUNet",
+        settings_init_args={"num_filters": 8, "depth": 2},
+        num_warmup_steps=2,
+    )
+    base.update(kw)
+    return TrainingSettings(**base)
+
+
+def _trainer(tmp_path, **kw):
+    base = dict(
+        max_epochs=1,
+        batch_size=8,
+        limit_train_batches=2,
+        limit_val_batches=1,
+        save_path=str(tmp_path / "run"),
+    )
+    base.update(kw)
+    return Trainer(TrainerConfig(**base))
+
+
+def test_fit_test_predict_scaled_ar(datasets, tmp_path):
+    train_ds, val_ds, test_ds = datasets
+    module = AutoRegressiveModule(
+        _settings(training_strategy="scaled_ar", num_inter_steps=2),
+        train_ds.dataset_info,
+    )
+    trainer = _trainer(tmp_path, max_epochs=2)
+    state = trainer.fit(module, train_ds, val_ds)
+    scores = trainer.test(module, test_ds, state)
+    assert "test_mean_loss" in scores
+    assert np.isfinite(scores["test_mean_loss"])
+    preds = trainer.predict(module, test_ds, state)
+    assert preds[0].names == ("batch", "timestep", "lat", "lon", "features")
+    assert preds[0].dim_size("timestep") == 3
+
+
+def test_fit_diff_ar_and_resume(datasets, tmp_path):
+    train_ds, val_ds, _ = datasets
+    module = AutoRegressiveModule(_settings(), train_ds.dataset_info)
+    trainer = _trainer(tmp_path)
+    state = trainer.fit(module, train_ds, val_ds)
+    # resume from the saved last checkpoint
+    ckpt = str(tmp_path / "run" / "checkpoints" / "last")
+    module2 = AutoRegressiveModule(_settings(), train_ds.dataset_info)
+    trainer2 = _trainer(tmp_path)
+    state2 = trainer2.fit(module2, train_ds, val_ds, ckpt_path=ckpt)
+    assert int(state2.step) > int(state.step) - 1
+
+
+def test_checkpoint_manifest_self_describing(datasets, tmp_path):
+    train_ds, val_ds, _ = datasets
+    module = AutoRegressiveModule(_settings(), train_ds.dataset_info)
+    trainer = _trainer(tmp_path)
+    trainer.fit(module, train_ds, val_ds)
+    import json
+
+    with open(tmp_path / "run" / "checkpoints" / "manifest.json") as f:
+        manifest = json.load(f)
+    assert manifest["model_name"] == "HalfUNet"
+    assert manifest["output_feature_names"] == [
+        "dummy_parameter_500_isobaricInhPa"
+    ]
+    assert "stats" in manifest and "diff_stats" in manifest
+
+
+def test_fast_dev_run(datasets, tmp_path):
+    train_ds, val_ds, _ = datasets
+    module = AutoRegressiveModule(_settings(), train_ds.dataset_info)
+    trainer = _trainer(tmp_path, fast_dev_run=True)
+    trainer.fit(module, train_ds, val_ds)
