@@ -1,0 +1,79 @@
+#!/usr/bin/env python
+"""Headline benchmark: HalfUNet auto-regressive training throughput on a
+Titan-sized grid (512×640, 21 prognostic + 21 forcing features,
+scaled_ar, batch 1) — the reference's default Titan training config
+(reference: config/CLI/dataset/titan.yaml:30-78, BASELINE.md).
+
+Baseline: the only recorded reference training speed is HiLAM at
+1.53 it/s, batch 1, 1 AR step, 500×500 grid on one V100
+(reference doc/num_steps.md:119-121). We report samples/sec of the full
+jitted train step (forward + backward + optimizer) on one chip.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+os.environ.setdefault("PY4CAST_TPU_ROOTDIR", "/tmp/py4cast_tpu_bench")
+
+BASELINE_SAMPLES_PER_SEC = 1.53  # doc/num_steps.md:119-121 (V100, batch 1)
+
+
+def main():
+    import jax
+
+    from py4cast_tpu.parallel.mesh import MeshConfig, make_mesh
+    from py4cast_tpu.testing import synthetic_batch, synthetic_dataset_info
+    from py4cast_tpu.training import AutoRegressiveModule, TrainingSettings
+
+    batch_size = int(os.environ.get("BENCH_BATCH", "1"))
+    grid = (512, 640)
+    info = synthetic_dataset_info(
+        grid_shape=grid, weather_features=21, forcing_features=21
+    )
+    settings = TrainingSettings(
+        model_name=os.environ.get("BENCH_MODEL", "HalfUNet"),
+        settings_init_args={"num_filters": 64},
+        training_strategy="scaled_ar",
+        num_input_steps=2,
+        precision=os.environ.get("BENCH_PRECISION", "bf16"),
+        num_warmup_steps=10,
+    )
+    mesh = make_mesh(MeshConfig(data_parallel=1), jax.devices()[:1])
+    module = AutoRegressiveModule(settings, info, mesh=mesh)
+    state = module.init_state(jax.random.key(0), num_training_steps=1000)
+    batch = synthetic_batch(info, batch_size=batch_size, num_pred_steps=1)
+
+    rng = jax.random.key(1)
+    # warmup (compile)
+    for _ in range(3):
+        state, loss = module.train_step(state, batch, rng)
+    loss.block_until_ready()
+
+    n_steps = int(os.environ.get("BENCH_STEPS", "20"))
+    t0 = time.perf_counter()
+    for _ in range(n_steps):
+        state, loss = module.train_step(state, batch, rng)
+    loss.block_until_ready()
+    dt = time.perf_counter() - t0
+
+    sps = n_steps * batch_size / dt
+    print(
+        json.dumps(
+            {
+                "metric": "halfunet_titan512x640_train_samples_per_sec_per_chip",
+                "value": round(sps, 3),
+                "unit": "samples/s",
+                "vs_baseline": round(sps / BASELINE_SAMPLES_PER_SEC, 2),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

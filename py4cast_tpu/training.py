@@ -73,6 +73,15 @@ class TrainingSettings:
     seed: int = 42
     # `channels_last` has no meaning here: NHWC is the only layout.
 
+    def __post_init__(self):
+        # YAML 1.1 parses bare scientific notation ("1e-3") as a string
+        for name in ("learning_rate", "min_learning_rate", "mask_ratio"):
+            setattr(self, name, float(getattr(self, name)))
+        for name in ("num_inter_steps", "num_input_steps", "num_warmup_steps",
+                     "accumulate_grad_batches"):
+            setattr(self, name, int(getattr(self, name)))
+        self.betas = tuple(float(b) for b in self.betas)
+
 
 class AutoRegressiveModule:
     """Owns model, loss and the jitted step functions for one training run."""

@@ -1,0 +1,72 @@
+"""CLI surface tests: YAML composition, dotted overrides, subcommands
+(reference analog: the CI workflow bin/main.py runs,
+.github/workflows/tests.yml:46-59)."""
+
+from pathlib import Path
+
+import pytest
+
+from py4cast_tpu.cli import main, parse_cli
+
+REPO = Path(__file__).resolve().parent.parent
+
+
+def _base_args(tmp_path, extra=()):
+    return [
+        "--config", str(REPO / "config/CLI/trainer.yaml"),
+        "--config", str(REPO / "config/CLI/dataset/dummy.yaml"),
+        "--config", str(REPO / "config/CLI/model/halfunet.yaml"),
+        "--model.settings_init_args.num_filters", "8",
+        "--model.settings_init_args.depth", "2",
+        "--model.num_warmup_steps", "2",
+        "--trainer.save_path", str(tmp_path / "run"),
+        *extra,
+    ]
+
+
+def test_parse_cli_composition_and_overrides(tmp_path):
+    cfg_a = tmp_path / "a.yaml"
+    cfg_a.write_text("model:\n  learning_rate: 0.1\n  num_inter_steps: 1\n")
+    cfg_b = tmp_path / "b.yaml"
+    cfg_b.write_text("model:\n  learning_rate: 0.2\n")
+    sub, conf = parse_cli(
+        ["fit", "--config", str(cfg_a), "--config", str(cfg_b),
+         "--model.num_inter_steps", "3", "--trainer.max_epochs=7"]
+    )
+    assert sub == "fit"
+    assert conf["model"]["learning_rate"] == 0.2  # later config wins
+    assert conf["model"]["num_inter_steps"] == 3  # override wins
+    assert conf["trainer"]["max_epochs"] == 7  # --k=v form
+
+
+def test_parse_cli_rejects_unknown_subcommand():
+    with pytest.raises(SystemExit):
+        parse_cli(["frobnicate"])
+
+
+def test_cli_fit_then_test_then_predict(tmp_path):
+    main(["fit"] + _base_args(tmp_path) + [
+        "--trainer.max_epochs", "1",
+        "--trainer.limit_train_batches", "2",
+        "--trainer.limit_val_batches", "1",
+    ])
+    ckpt = tmp_path / "run" / "checkpoints" / "last"
+    assert ckpt.exists()
+    assert (tmp_path / "run" / "checkpoints" / "manifest.json").exists()
+
+    main(["test"] + _base_args(tmp_path) + [
+        "--trainer.limit_val_batches", "1",
+        "--trainer.ckpt_path", str(ckpt),
+    ])
+    assert (tmp_path / "run" / "test_scores.json").exists()
+
+    main(["predict"] + _base_args(tmp_path) + [
+        "--trainer.ckpt_path", str(ckpt),
+    ])
+    preds = list((tmp_path / "run" / "predictions").glob("batch_*.npy"))
+    assert preds
+
+
+def test_cli_unknown_key_rejected(tmp_path):
+    with pytest.raises(SystemExit):
+        main(["fit"] + _base_args(tmp_path) + ["--trainer.not_a_knob", "1"])
