@@ -1,0 +1,505 @@
+"""Graph weather models: GraphLAM, HiLAM, HiLAMParallel.
+
+TPU-native re-design of the neural-lam-style mesh GNNs the reference
+pulls from mfai (reference settings: config/CLI/model/graphlam.yaml,
+hilam.yaml, hilamparallel.yaml; contract: SURVEY.md §2.2 — GRAPH models
+consume flattened (B, ngrid, features)).
+
+Design for TPU:
+- The multiscale mesh is built ONCE on host in numpy (``build_graph``,
+  the analog of the reference's rank_zero_setup, lightning.py:141-144)
+  with STATIC shapes: regular coarsenings of the grid, 8-neighbor
+  intra-level edges, nearest-neighbor up/down/g2m/m2g bipartite edges.
+- Message passing = gather (jnp.take) + ``jax.ops.segment_sum`` with a
+  static segment count; edges are sorted by destination at build time
+  so the scatter is near-sequential in memory.
+- Batching via a leading batch dim on node states; edge ops vmap over it.
+- Hierarchy sweeps (HiLAM) are statically unrolled over the (few) levels.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import List, Optional, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from py4cast_tpu.models.base import ModelBase, ModelType
+
+
+@dataclass(frozen=True)
+class GraphModelSettings:
+    tmp_dir: str = "/tmp"  # accepted for config parity; graphs stay in RAM
+    hidden_dims: int = 64
+    hidden_layers: int = 1
+    use_checkpointing: bool = False
+    offload_to_cpu: bool = False  # accepted; remat covers the memory need
+    mesh_aggr: str = "sum"
+    processor_layers: int = 4
+    mesh_levels: int = 3
+    coarsen_factor: int = 4
+
+
+class EdgeSet:
+    """Static edge set: src/dst indices + static edge features."""
+
+    def __init__(self, src: np.ndarray, dst: np.ndarray, feats: np.ndarray):
+        order = np.argsort(dst, kind="stable")  # near-sequential scatter
+        self.src = src[order].astype(np.int32)
+        self.dst = dst[order].astype(np.int32)
+        self.feats = feats[order].astype(np.float32)
+
+    def __len__(self):
+        return len(self.src)
+
+
+class GraphArtifacts:
+    """All static graph data. Hash/eq by identity so it can live as a
+    linen module attribute without deep comparisons."""
+
+    def __init__(
+        self,
+        n_grid: int,
+        mesh_pos: List[np.ndarray],
+        intra: List[EdgeSet],
+        up: List[EdgeSet],
+        down: List[EdgeSet],
+        g2m: EdgeSet,
+        m2g: EdgeSet,
+    ):
+        self.n_grid = n_grid
+        self.mesh_pos = mesh_pos  # per-level (Nl, 2) normalized positions
+        self.intra = intra  # per-level intra-mesh edges
+        self.up = up  # level l -> l+1
+        self.down = down  # level l+1 -> l
+        self.g2m = g2m  # grid -> mesh level 0
+        self.m2g = m2g  # mesh level 0 -> grid
+        self.level_sizes = [p.shape[0] for p in mesh_pos]
+        # flat-mesh view (GraphLAM): all levels concatenated
+        offs = np.cumsum([0] + self.level_sizes)
+        self.level_offsets = offs
+        self.n_mesh = int(offs[-1])
+
+    def __hash__(self):
+        return id(self)
+
+    def __eq__(self, other):
+        return self is other
+
+
+def _edge_feats(pos_src: np.ndarray, pos_dst: np.ndarray) -> np.ndarray:
+    """Static per-edge features: displacement + length, max-normalized."""
+    d = pos_src - pos_dst
+    length = np.linalg.norm(d, axis=-1, keepdims=True)
+    scale = max(length.max(), 1e-12)
+    return np.concatenate([d / scale, length / scale], axis=-1)
+
+
+def _grid_of(h: int, w: int) -> np.ndarray:
+    ii, jj = np.meshgrid(np.arange(h), np.arange(w), indexing="ij")
+    return np.stack([ii.ravel(), jj.ravel()], axis=1)
+
+
+def _neighbors8(h: int, w: int) -> Tuple[np.ndarray, np.ndarray]:
+    """8-neighborhood edges on an h×w lattice (both directions)."""
+    idx = np.arange(h * w).reshape(h, w)
+    src, dst = [], []
+    for di in (-1, 0, 1):
+        for dj in (-1, 0, 1):
+            if di == 0 and dj == 0:
+                continue
+            si = slice(max(0, -di), h - max(0, di))
+            sj = slice(max(0, -dj), w - max(0, dj))
+            ti = slice(max(0, di), h + min(0, di))
+            tj = slice(max(0, dj), w + min(0, dj))
+            src.append(idx[si, sj].ravel())
+            dst.append(idx[ti, tj].ravel())
+    return np.concatenate(src), np.concatenate(dst)
+
+
+def _nearest_on_lattice(
+    fine_hw: Tuple[int, int], coarse_hw: Tuple[int, int]
+) -> np.ndarray:
+    """Nearest coarse-lattice node per fine node, by index arithmetic —
+    O(N) instead of an O(N·M) distance matrix (full Titan grids have
+    ~330k nodes). Both lattices are regular linspace subsamplings."""
+    fh, fw = fine_hw
+    ch, cw = coarse_hw
+    ri = np.rint(np.arange(fh) * (ch - 1) / max(fh - 1, 1)).astype(int)
+    ci = np.rint(np.arange(fw) * (cw - 1) / max(fw - 1, 1)).astype(int)
+    return (ri[:, None] * cw + ci[None, :]).ravel()
+
+
+def _surrounding4_on_lattice(
+    fine_hw: Tuple[int, int], coarse_hw: Tuple[int, int]
+) -> np.ndarray:
+    """The 4 surrounding coarse-lattice nodes per fine node: (Nf, 4)."""
+    fh, fw = fine_hw
+    ch, cw = coarse_hw
+    r = np.arange(fh) * (ch - 1) / max(fh - 1, 1)
+    c = np.arange(fw) * (cw - 1) / max(fw - 1, 1)
+    r0 = np.clip(np.floor(r).astype(int), 0, ch - 1)
+    r1 = np.clip(r0 + 1, 0, ch - 1)
+    c0 = np.clip(np.floor(c).astype(int), 0, cw - 1)
+    c1 = np.clip(c0 + 1, 0, cw - 1)
+    out = np.stack(
+        [
+            (r0[:, None] * cw + c0[None, :]),
+            (r0[:, None] * cw + c1[None, :]),
+            (r1[:, None] * cw + c0[None, :]),
+            (r1[:, None] * cw + c1[None, :]),
+        ],
+        axis=-1,
+    )
+    return out.reshape(-1, 4)
+
+
+def build_graph_artifacts(
+    meshgrid: np.ndarray, settings: GraphModelSettings
+) -> GraphArtifacts:
+    """Build the multiscale mesh from the grid coordinates.
+
+    meshgrid: (2, H, W) coordinates (the Statics.meshgrid contract,
+    reference: datasets/base.py:198-230).
+    """
+    _, h, w = meshgrid.shape
+    pos = np.stack([meshgrid[0], meshgrid[1]], axis=-1).reshape(-1, 2)
+    # normalize positions to [0, 1]
+    pmin, pmax = pos.min(0), pos.max(0)
+    pos = (pos - pmin) / np.where(pmax > pmin, pmax - pmin, 1.0)
+
+    # ---- mesh levels: regular coarsenings
+    mesh_pos: List[np.ndarray] = []
+    level_hw: List[Tuple[int, int]] = []
+    f = settings.coarsen_factor
+    lh, lw = max(2, h // f), max(2, w // f)
+    for level in range(settings.mesh_levels):
+        ii = np.linspace(0, h - 1, lh).astype(int)
+        jj = np.linspace(0, w - 1, lw).astype(int)
+        sel = (ii[:, None] * w + jj[None, :]).ravel()
+        mesh_pos.append(pos[sel])
+        level_hw.append((lh, lw))
+        lh, lw = max(2, lh // 2), max(2, lw // 2)
+
+    # ---- intra-level 8-neighbor edges
+    intra = []
+    for (lh, lw), p in zip(level_hw, mesh_pos):
+        src, dst = _neighbors8(lh, lw)
+        intra.append(EdgeSet(src, dst, _edge_feats(p[src], p[dst])))
+
+    # ---- up (l → l+1: each fine node sends to its nearest coarse node)
+    #      and down (l+1 → l: reversed)
+    up, down = [], []
+    for level in range(settings.mesh_levels - 1):
+        fine, coarse = mesh_pos[level], mesh_pos[level + 1]
+        near_c = _nearest_on_lattice(level_hw[level], level_hw[level + 1])
+        src_u = np.arange(len(fine))
+        up.append(EdgeSet(src_u, near_c, _edge_feats(fine[src_u], coarse[near_c])))
+        down.append(
+            EdgeSet(near_c, src_u, _edge_feats(coarse[near_c], fine[src_u]))
+        )
+
+    # ---- grid ↔ mesh level 0
+    m0 = mesh_pos[0]
+    g2m_dst = _nearest_on_lattice((h, w), level_hw[0])
+    g2m = EdgeSet(
+        np.arange(len(pos)), g2m_dst, _edge_feats(pos, m0[g2m_dst])
+    )
+    m2g_src4 = _surrounding4_on_lattice((h, w), level_hw[0])
+    src = m2g_src4.ravel()
+    dst = np.repeat(np.arange(len(pos)), 4)
+    m2g = EdgeSet(src, dst, _edge_feats(m0[src], pos[dst]))
+
+    return GraphArtifacts(len(pos), mesh_pos, intra, up, down, g2m, m2g)
+
+
+class MLP(nn.Module):
+    out_dim: int
+    hidden_dim: int
+    hidden_layers: int = 1
+    layer_norm: bool = True
+
+    @nn.compact
+    def __call__(self, x):
+        for _ in range(self.hidden_layers):
+            x = nn.Dense(self.hidden_dim)(x)
+            x = nn.silu(x)
+        x = nn.Dense(self.out_dim)(x)
+        if self.layer_norm:
+            x = nn.LayerNorm()(x)
+        return x
+
+
+class InteractionNetwork(nn.Module):
+    """One GraphCast/neural-lam message-passing step over a static edge set.
+
+    Sender and receiver node sets may differ (bipartite). Edge update:
+    e' = MLP([e, v_s, v_r]); node update: v' = MLP([v, Σ_in e']) with
+    residuals on both. Aggregation is segment-sum on the MXU-friendly
+    sorted-by-destination layout.
+    """
+
+    hidden_dim: int
+    hidden_layers: int = 1
+    aggr: str = "sum"
+    update_edges: bool = True
+
+    @nn.compact
+    def __call__(self, v_src, v_dst, e, src_idx, dst_idx, n_dst: int):
+        # v_src: (B, Ns, h), v_dst: (B, Nd, h), e: (B, E, h)
+        vs = jnp.take(v_src, src_idx, axis=1)
+        vd = jnp.take(v_dst, dst_idx, axis=1)
+        e_new = MLP(self.hidden_dim, self.hidden_dim, self.hidden_layers)(
+            jnp.concatenate([e, vs, vd], axis=-1)
+        )
+        agg = jax.vmap(
+            lambda ee: jax.ops.segment_sum(ee, dst_idx, num_segments=n_dst)
+        )(e_new)
+        if self.aggr == "mean":
+            counts = jax.ops.segment_sum(
+                jnp.ones_like(dst_idx, jnp.float32), dst_idx, num_segments=n_dst
+            )
+            agg = agg / jnp.maximum(counts, 1.0)[None, :, None]
+        v_new = MLP(self.hidden_dim, self.hidden_dim, self.hidden_layers)(
+            jnp.concatenate([v_dst, agg], axis=-1)
+        )
+        v_out = v_dst + v_new
+        e_out = e + e_new if self.update_edges else e
+        return v_out, e_out
+
+
+class _GraphModelBase(ModelBase):
+    """Shared embed → g2m → process → m2g → decode skeleton."""
+
+    graph: Optional[GraphArtifacts] = None
+
+    settings_kls = GraphModelSettings
+    model_type = ModelType.GRAPH
+    supported_num_spatial_dims = (1,)
+    register = False
+
+    @classmethod
+    def build_graph(cls, settings, meshgrid) -> GraphArtifacts:
+        return build_graph_artifacts(np.asarray(meshgrid), settings)
+
+    # ---- shared pieces (called inside subclasses' @nn.compact __call__)
+    def _embed(self, x):
+        g = self.graph
+        s = self.settings
+        h = s.hidden_dims
+        b = x.shape[0]
+        grid_v = MLP(h, h, s.hidden_layers, name="grid_embed")(x)
+        mesh_v = [
+            jnp.broadcast_to(
+                MLP(h, h, s.hidden_layers, name=f"mesh_embed_{l}")(
+                    jnp.asarray(lvl_pos)
+                )[None],
+                (b, lvl_pos.shape[0], h),
+            )
+            for l, lvl_pos in enumerate(g.mesh_pos)
+        ]
+        return grid_v, mesh_v
+
+    def _edge_emb(self, edge_set: EdgeSet, b: int, name: str):
+        s = self.settings
+        h = s.hidden_dims
+        e = MLP(h, h, s.hidden_layers, name=name)(jnp.asarray(edge_set.feats))
+        return jnp.broadcast_to(e[None], (b,) + e.shape)
+
+    def _g2m(self, grid_v, mesh_v0):
+        g, s = self.graph, self.settings
+        b = grid_v.shape[0]
+        e = self._edge_emb(g.g2m, b, "g2m_edge_embed")
+        v, _ = InteractionNetwork(
+            s.hidden_dims, s.hidden_layers, s.mesh_aggr, update_edges=False,
+            name="g2m",
+        )(
+            grid_v, mesh_v0, e,
+            jnp.asarray(g.g2m.src), jnp.asarray(g.g2m.dst), g.level_sizes[0],
+        )
+        return v
+
+    def _m2g(self, mesh_v0, grid_v):
+        g, s = self.graph, self.settings
+        b = grid_v.shape[0]
+        e = self._edge_emb(g.m2g, b, "m2g_edge_embed")
+        v, _ = InteractionNetwork(
+            s.hidden_dims, s.hidden_layers, s.mesh_aggr, update_edges=False,
+            name="m2g",
+        )(
+            mesh_v0, grid_v, e,
+            jnp.asarray(g.m2g.src), jnp.asarray(g.m2g.dst), g.n_grid,
+        )
+        return v
+
+    def _decode(self, grid_v):
+        s = self.settings
+        return MLP(
+            self.num_output_features, s.hidden_dims, s.hidden_layers,
+            layer_norm=False, name="decoder",
+        )(grid_v)
+
+
+class GraphLAM(_GraphModelBase):
+    """Flat multiscale GNN: all mesh levels merged into one graph
+    (GraphCast/neural-lam 'GraphLAM')."""
+
+    settings: GraphModelSettings = GraphModelSettings()
+    graph: Optional[GraphArtifacts] = None
+    register = True
+
+    @nn.compact
+    def __call__(self, x, deterministic: bool = True):
+        g, s = self.graph, self.settings
+        b = x.shape[0]
+        grid_v, mesh_v = self._embed(x)
+        mesh_flat = jnp.concatenate(mesh_v, axis=1)  # (B, n_mesh, h)
+
+        # flat edge list: intra-level + up + down, offset into flat ids
+        srcs, dsts, feats = [], [], []
+        offs = g.level_offsets
+        for l, es in enumerate(g.intra):
+            srcs.append(es.src + offs[l])
+            dsts.append(es.dst + offs[l])
+            feats.append(es.feats)
+        for l, es in enumerate(g.up):
+            srcs.append(es.src + offs[l])
+            dsts.append(es.dst + offs[l + 1])
+            feats.append(es.feats)
+        for l, es in enumerate(g.down):
+            srcs.append(es.src + offs[l + 1])
+            dsts.append(es.dst + offs[l])
+            feats.append(es.feats)
+        src = jnp.asarray(np.concatenate(srcs).astype(np.int32))
+        dst = jnp.asarray(np.concatenate(dsts).astype(np.int32))
+        efeat = np.concatenate(feats)
+        e = MLP(s.hidden_dims, s.hidden_dims, s.hidden_layers,
+                name="mesh_edge_embed")(jnp.asarray(efeat))
+        e = jnp.broadcast_to(e[None], (b,) + e.shape)
+
+        # update level-0 slice with grid info, then process the flat mesh
+        v0 = self._g2m(grid_v, mesh_v[0])
+        mesh_flat = mesh_flat.at[:, : g.level_sizes[0]].set(v0)
+
+        for i in range(s.processor_layers):
+            mesh_flat, e = InteractionNetwork(
+                s.hidden_dims, s.hidden_layers, s.mesh_aggr,
+                name=f"processor_{i}",
+            )(mesh_flat, mesh_flat, e, src, dst, g.n_mesh)
+
+        grid_out = self._m2g(mesh_flat[:, : g.level_sizes[0]], grid_v)
+        return self._decode(grid_out)
+
+
+class HiLAM(_GraphModelBase):
+    """Hierarchical GNN: per processor layer, sweep up the mesh hierarchy,
+    process the top, sweep down (Oskarsson et al. 2023)."""
+
+    settings: GraphModelSettings = GraphModelSettings()
+    graph: Optional[GraphArtifacts] = None
+    register = True
+
+    @nn.compact
+    def __call__(self, x, deterministic: bool = True):
+        g, s = self.graph, self.settings
+        b = x.shape[0]
+        L = len(g.mesh_pos)
+        grid_v, mesh_v = self._embed(x)
+        mesh_v[0] = self._g2m(grid_v, mesh_v[0])
+
+        intra_e = [
+            self._edge_emb(es, b, f"intra_edge_embed_{l}")
+            for l, es in enumerate(g.intra)
+        ]
+        up_e = [self._edge_emb(es, b, f"up_edge_embed_{l}") for l, es in enumerate(g.up)]
+        down_e = [
+            self._edge_emb(es, b, f"down_edge_embed_{l}") for l, es in enumerate(g.down)
+        ]
+
+        for p in range(s.processor_layers):
+            # sweep up: level l → l+1
+            for l in range(L - 1):
+                mesh_v[l + 1], up_e[l] = InteractionNetwork(
+                    s.hidden_dims, s.hidden_layers, s.mesh_aggr,
+                    name=f"p{p}_up_{l}",
+                )(
+                    mesh_v[l], mesh_v[l + 1], up_e[l],
+                    jnp.asarray(g.up[l].src), jnp.asarray(g.up[l].dst),
+                    g.level_sizes[l + 1],
+                )
+                mesh_v[l + 1], intra_e[l + 1] = InteractionNetwork(
+                    s.hidden_dims, s.hidden_layers, s.mesh_aggr,
+                    name=f"p{p}_intra_up_{l + 1}",
+                )(
+                    mesh_v[l + 1], mesh_v[l + 1], intra_e[l + 1],
+                    jnp.asarray(g.intra[l + 1].src), jnp.asarray(g.intra[l + 1].dst),
+                    g.level_sizes[l + 1],
+                )
+            # sweep down: level l+1 → l
+            for l in reversed(range(L - 1)):
+                mesh_v[l], down_e[l] = InteractionNetwork(
+                    s.hidden_dims, s.hidden_layers, s.mesh_aggr,
+                    name=f"p{p}_down_{l}",
+                )(
+                    mesh_v[l + 1], mesh_v[l], down_e[l],
+                    jnp.asarray(g.down[l].src), jnp.asarray(g.down[l].dst),
+                    g.level_sizes[l],
+                )
+                mesh_v[l], intra_e[l] = InteractionNetwork(
+                    s.hidden_dims, s.hidden_layers, s.mesh_aggr,
+                    name=f"p{p}_intra_down_{l}",
+                )(
+                    mesh_v[l], mesh_v[l], intra_e[l],
+                    jnp.asarray(g.intra[l].src), jnp.asarray(g.intra[l].dst),
+                    g.level_sizes[l],
+                )
+
+        grid_out = self._m2g(mesh_v[0], grid_v)
+        return self._decode(grid_out)
+
+
+class HiLAMParallel(_GraphModelBase):
+    """HiLAM variant processing every hierarchy edge set simultaneously
+    per layer (one flat graph over all levels + inter-level edges)."""
+
+    settings: GraphModelSettings = GraphModelSettings()
+    graph: Optional[GraphArtifacts] = None
+    register = True
+
+    @nn.compact
+    def __call__(self, x, deterministic: bool = True):
+        g, s = self.graph, self.settings
+        b = x.shape[0]
+        grid_v, mesh_v = self._embed(x)
+        mesh_v[0] = self._g2m(grid_v, mesh_v[0])
+        mesh_flat = jnp.concatenate(mesh_v, axis=1)
+
+        offs = g.level_offsets
+        srcs = [es.src + offs[l] for l, es in enumerate(g.intra)]
+        dsts = [es.dst + offs[l] for l, es in enumerate(g.intra)]
+        feats = [es.feats for es in g.intra]
+        for l, es in enumerate(g.up):
+            srcs.append(es.src + offs[l])
+            dsts.append(es.dst + offs[l + 1])
+            feats.append(es.feats)
+        for l, es in enumerate(g.down):
+            srcs.append(es.src + offs[l + 1])
+            dsts.append(es.dst + offs[l])
+            feats.append(es.feats)
+        src = jnp.asarray(np.concatenate(srcs).astype(np.int32))
+        dst = jnp.asarray(np.concatenate(dsts).astype(np.int32))
+        e = MLP(s.hidden_dims, s.hidden_dims, s.hidden_layers,
+                name="mesh_edge_embed")(jnp.asarray(np.concatenate(feats)))
+        e = jnp.broadcast_to(e[None], (b,) + e.shape)
+
+        for i in range(s.processor_layers):
+            mesh_flat, e = InteractionNetwork(
+                s.hidden_dims, s.hidden_layers, s.mesh_aggr,
+                name=f"processor_{i}",
+            )(mesh_flat, mesh_flat, e, src, dst, g.n_mesh)
+
+        grid_out = self._m2g(mesh_flat[:, : g.level_sizes[0]], grid_v)
+        return self._decode(grid_out)

@@ -1,0 +1,171 @@
+"""UNETR++ with Efficient Paired Attention (EPA).
+
+TPU-native Flax implementation with the reference settings surface
+(reference config: config/CLI/model/unetrpp.yaml — hidden_size/
+num_heads_encoder/num_heads_decoder/depths/proj sizes/linear_upsampling/
+downsampling_rate/add_skip_connections). EPA (Shaker et al. 2023) pairs
+a spatial-attention branch whose K/V are projected to a small fixed
+token count (proj_size) with a channel-attention branch over C×C —
+both are small dense matmuls that map straight onto the MXU, which is
+why no flash-attention kernel is needed here (the reference needs one
+on GPU: Dockerfile.ewc_flash_attn:31).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Tuple
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from py4cast_tpu.models.base import ModelBase, ModelType, crop_to, pad_to_multiple
+from py4cast_tpu.models.unet import _bilinear_resize, _gn
+
+
+@dataclass(frozen=True)
+class UNetRPPSettings:
+    hidden_size: int = 256
+    num_heads_encoder: int = 16
+    num_heads_decoder: int = 4
+    pos_embed: str = "perceptron"
+    norm_name: str = "instance"
+    dropout_rate: float = 0.0
+    depths: Tuple[int, ...] = (3, 3, 3, 3)
+    conv_op: str = "Conv2d"
+    linear_upsampling: bool = False
+    downsampling_rate: int = 4
+    decoder_proj_size: int = 64
+    encoder_proj_sizes: Tuple[int, ...] = (64, 64, 64, 32)
+    add_skip_connections: bool = True
+    attention_code: str = "xla"  # reference: torch | flash-attn
+
+
+class EPA(nn.Module):
+    """Efficient Paired Attention: spatial branch (K/V projected to
+    proj_size tokens) + channel branch (C×C), shared Q/K weights."""
+
+    dim: int
+    heads: int
+    proj_size: int
+
+    @nn.compact
+    def __call__(self, x):
+        # x: (B, N, C)
+        b, n, c = x.shape
+        hd = self.dim // self.heads
+        qkvv = nn.Dense(self.dim * 4, use_bias=False)(x)  # q, k shared; v_sp, v_ch
+        q, k, v_sp, v_ch = jnp.split(qkvv, 4, axis=-1)
+
+        def split_heads(a):  # (B, heads, N, hd)
+            return a.reshape(b, n, self.heads, hd).transpose(0, 2, 1, 3)
+
+        q, k, v_sp, v_ch = map(split_heads, (q, k, v_sp, v_ch))
+
+        # ---- channel attention branch: (hd × hd) per head
+        qn = q / (jnp.linalg.norm(q, axis=-2, keepdims=True) + 1e-6)
+        kn = k / (jnp.linalg.norm(k, axis=-2, keepdims=True) + 1e-6)
+        temp = self.param("temperature", nn.initializers.ones, (self.heads, 1, 1))
+        attn_ch = jnp.einsum(
+            "bhnd,bhne->bhde", qn, kn, preferred_element_type=jnp.float32
+        ) * temp
+        attn_ch = nn.softmax(attn_ch, axis=-1)
+        out_ch = jnp.einsum("bhde,bhne->bhnd", attn_ch, v_ch)
+
+        # ---- spatial attention branch: K/V projected to proj_size tokens
+        p = min(self.proj_size, n)
+        proj_k = self.param(
+            "proj_k", nn.initializers.truncated_normal(0.02), (n, p)
+        )
+        proj_v = self.param(
+            "proj_v", nn.initializers.truncated_normal(0.02), (n, p)
+        )
+        k_p = jnp.einsum("bhnd,np->bhpd", k, proj_k)
+        v_p = jnp.einsum("bhnd,np->bhpd", v_sp, proj_v)
+        attn_sp = jnp.einsum(
+            "bhnd,bhpd->bhnp", q, k_p, preferred_element_type=jnp.float32
+        ) / jnp.sqrt(hd).astype(q.dtype)
+        attn_sp = nn.softmax(attn_sp, axis=-1)
+        out_sp = jnp.einsum("bhnp,bhpd->bhnd", attn_sp, v_p)
+
+        def merge(a):
+            return a.transpose(0, 2, 1, 3).reshape(b, n, self.dim)
+
+        fused = nn.Dense(self.dim)(merge(out_sp)) + nn.Dense(self.dim)(merge(out_ch))
+        return fused
+
+
+class EPABlock(nn.Module):
+    dim: int
+    heads: int
+    proj_size: int
+
+    @nn.compact
+    def __call__(self, x):
+        # x: (B, H, W, C) — tokens are the spatial positions
+        b, h, w, c = x.shape
+        t = x.reshape(b, h * w, c)
+        t = t + EPA(self.dim, self.heads, self.proj_size)(nn.LayerNorm()(t))
+        y = t.reshape(b, h, w, c)
+        # conv FFN (3x3 depthwise + pointwise), the UNETR++ conv stem
+        z = nn.Conv(self.dim * 2, (3, 3), padding="SAME")(y)
+        z = nn.gelu(z)
+        z = nn.Conv(self.dim, (3, 3), padding="SAME")(z)
+        return y + z
+
+
+class UNetRPP(ModelBase):
+    settings: UNetRPPSettings = UNetRPPSettings()
+
+    settings_kls = UNetRPPSettings
+    model_type = ModelType.VISION_TRANSFORMER
+    register = True
+
+    @nn.compact
+    def __call__(self, x, deterministic: bool = True):
+        s = self.settings
+        n_stages = len(s.depths)
+        dr = s.downsampling_rate
+        total = dr * 2 ** (n_stages - 1)
+        x_pad, hw = pad_to_multiple(x, total)
+        dims = [s.hidden_size // 2**i for i in reversed(range(n_stages))]
+
+        # full-res conv stem used as the outermost skip
+        stem = nn.Conv(dims[0] // 2, (3, 3), padding="SAME")(x_pad)
+        stem = nn.gelu(_gn(dims[0] // 2)(stem))
+
+        # encoder
+        h = nn.Conv(dims[0], (dr, dr), strides=(dr, dr))(x_pad)  # patch embed
+        if s.pos_embed == "perceptron":
+            h = nn.Dense(dims[0])(h)
+        skips = []
+        for i in range(n_stages):
+            for _ in range(s.depths[i]):
+                h = EPABlock(dims[i], s.num_heads_encoder, s.encoder_proj_sizes[i])(h)
+            skips.append(h)
+            if i < n_stages - 1:
+                h = nn.Conv(dims[i + 1], (2, 2), strides=(2, 2))(h)
+
+        # decoder
+        y = skips[-1]
+        for i in reversed(range(n_stages - 1)):
+            if s.linear_upsampling:
+                y = _bilinear_resize(y, skips[i].shape[1], skips[i].shape[2])
+                y = nn.Conv(dims[i], (1, 1))(y)
+            else:
+                y = nn.ConvTranspose(dims[i], (2, 2), strides=(2, 2))(y)
+            if s.add_skip_connections:
+                y = y + skips[i]
+            y = EPABlock(dims[i], s.num_heads_decoder, s.decoder_proj_size)(y)
+
+        # back to full resolution
+        if s.linear_upsampling:
+            y = _bilinear_resize(y, x_pad.shape[1], x_pad.shape[2])
+            y = nn.Conv(dims[0] // 2, (1, 1))(y)
+        else:
+            y = nn.ConvTranspose(dims[0] // 2, (dr, dr), strides=(dr, dr))(y)
+        y = jnp.concatenate([y, stem], axis=-1)
+        y = nn.Conv(dims[0] // 2, (3, 3), padding="SAME")(y)
+        y = nn.gelu(_gn(dims[0] // 2)(y))
+        y = nn.Conv(self.num_output_features, (1, 1))(y)
+        return crop_to(y, hw)

@@ -209,7 +209,12 @@ class AutoRegressiveModule:
 
     # ----------------------------------------------------------------- pieces
     def _model_apply(self, params):
-        """Features-last model application with bf16 activation policy."""
+        """Features-last model application with bf16 activation policy.
+
+        Honors the model's ``use_checkpointing`` setting with jax
+        rematerialization — the TPU analog of the reference GNNs'
+        activation checkpointing / CPU offload flags
+        (config/CLI/model/graphlam.yaml:20-21)."""
 
         def apply(x):
             if self.compute_dtype != jnp.float32:
@@ -217,6 +222,10 @@ class AutoRegressiveModule:
             y = self.model.apply(params, x)
             return y.astype(jnp.float32)
 
+        if getattr(self.model_settings, "use_checkpointing", False) or getattr(
+            self.model_settings, "use_checkpoint", False
+        ):
+            apply = jax.checkpoint(apply)
         return apply
 
     def _flatten_graph(self, arr: Optional[jnp.ndarray]):

@@ -1,0 +1,129 @@
+"""Model-zoo contract tests: every registered architecture instantiates,
+runs a forward pass at the declared layout, and can take a gradient step
+(reference analog: tests/test_models.py:28-143)."""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+import pytest
+
+from py4cast_tpu.models import (
+    ModelType,
+    build_model_from_settings,
+    get_model_kls_and_settings,
+    registry,
+    settings_from_dict,
+)
+
+H, W, F_IN, F_OUT = 17, 19, 5, 3
+
+# smaller hyperparameters for CI speed
+TINY = {
+    "UNet": {"init_features": 4, "depth": 2},
+    "HalfUNet": {"num_filters": 8, "depth": 3},
+    "CustomUNet": {"encoder_depth": 3, "decoder_channels": (16, 8)},
+    "DeepLabV3": {"decoder_channels": 16, "encoder_depth": 3},
+    "DeepLabV3Plus": {"decoder_channels": 16, "encoder_depth": 3},
+    "Segformer": {"dims": (8, 16), "heads": (1, 2), "num_layers": 1, "decoder_dim": 16,
+                  "ff_expansion": (2, 2), "reduction_ratio": (2, 1)},
+    "SwinUNetR": {"feature_size": 4, "depths": (1, 1), "num_heads": (2, 2),
+                  "window_size": 4},
+    "UNetRPP": {"hidden_size": 32, "depths": (1, 1, 1, 1), "num_heads_encoder": 2,
+                "num_heads_decoder": 2, "encoder_proj_sizes": (16, 16, 16, 8),
+                "decoder_proj_size": 16, "downsampling_rate": 2},
+    "GraphLAM": {"hidden_dims": 8, "processor_layers": 1, "mesh_levels": 2},
+    "HiLAM": {"hidden_dims": 8, "processor_layers": 2, "mesh_levels": 2},
+    "HiLAMParallel": {"hidden_dims": 8, "processor_layers": 2, "mesh_levels": 2},
+}
+
+
+def _build(name):
+    kls, _ = get_model_kls_and_settings(name)
+    settings = settings_from_dict(kls.settings_kls, TINY.get(name, {}))
+    extra = {}
+    if kls.model_type == ModelType.GRAPH:
+        lats, lons = np.meshgrid(
+            np.linspace(0, 1, H), np.linspace(0, 1, W), indexing="ij"
+        )
+        meshgrid = np.stack([lats, lons])  # (2, H, W)
+        extra["graph"] = kls.build_graph(settings, meshgrid)
+        input_shape = (H * W,)
+    else:
+        input_shape = (H, W)
+    model = build_model_from_settings(name, F_IN, F_OUT, settings, input_shape, **extra)
+    return model, input_shape
+
+
+@pytest.mark.parametrize("name", sorted(registry))
+def test_forward_shape(name):
+    model, input_shape = _build(name)
+    x = jnp.asarray(np.random.default_rng(0).standard_normal((2,) + input_shape + (F_IN,)), jnp.float32)
+    params = model.init(jax.random.key(0), x)
+    y = model.apply(params, x)
+    assert y.shape == (2,) + input_shape + (F_OUT,)
+    assert not np.any(np.isnan(np.asarray(y)))
+
+
+@pytest.mark.parametrize("name", sorted(registry))
+def test_gradient_step_reduces_loss(name):
+    """One step of full-batch SGD on 'predict the channel-mean of the
+    inputs' must reduce the loss — proves grads flow end to end."""
+    model, input_shape = _build(name)
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal((2,) + input_shape + (F_IN,)), jnp.float32)
+    target = jnp.broadcast_to(
+        jnp.mean(x, axis=-1, keepdims=True), x.shape[:-1] + (F_OUT,)
+    )
+    params = model.init(jax.random.key(0), x)
+    tx = optax.adam(3e-4)
+    opt_state = tx.init(params)
+
+    def loss_fn(p):
+        return jnp.mean((model.apply(p, x) - target) ** 2)
+
+    grad_fn = jax.jit(jax.value_and_grad(loss_fn))
+    l0 = None
+    for step in range(5):
+        loss, grads = grad_fn(params)
+        if step == 0:
+            l0 = float(loss)
+            assert float(optax.global_norm(grads)) > 0.0, "no gradient signal"
+        updates, opt_state = tx.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+    assert float(loss_fn(params)) < l0
+
+
+def test_registry_contains_reference_zoo():
+    """Asserts the reference's 12-model surface (minus plugins) is present
+    (reference: tests/test_models.py:145-165)."""
+    expected = {
+        "UNet",
+        "CustomUNet",
+        "HalfUNet",
+        "DeepLabV3",
+        "DeepLabV3Plus",
+        "Segformer",
+        "SwinUNetR",
+        "UNetRPP",
+        "GraphLAM",
+        "HiLAM",
+        "HiLAMParallel",
+    }
+    missing = expected - set(registry)
+    assert not missing, f"missing architectures: {missing}"
+
+
+def test_plugin_discovery_registers_identity():
+    """The py4cast_tpu_plugin_example module at the repo root must be
+    discovered and its Identity model registered
+    (reference: tests/test_models.py:145-165)."""
+    assert "Identity" in registry
+
+
+def test_unknown_settings_key_rejected():
+    kls, _ = get_model_kls_and_settings("HalfUNet")
+    with pytest.raises(ValueError):
+        settings_from_dict(kls.settings_kls, {"not_a_knob": 1})
