@@ -1,0 +1,242 @@
+"""Validation/test metrics: DCT power spectra (PSD-K, PSD-Var) and
+anomaly correlation (ACC).
+
+TPU-native re-design of the reference's torchmetrics module (reference:
+py4cast/metrics.py). Differences by design:
+
+- Metrics are **functional accumulators**: ``init_state() → pytree``,
+  ``update(state, …) → state`` is pure and jit-safe, ``compute(state)``
+  renders host-side figures/scalars. Cross-device reduction is a psum
+  of the state pytree (the torchmetrics ``dist_reduce_fx="sum"`` analog)
+  — here it happens automatically when update runs inside a jitted step
+  over a sharded batch.
+- The 2-D DCT runs on device via ``jax.scipy.fft.dctn`` (the reference
+  pulls tensors to CPU for scipy, metrics.py:132-211); radial binning is
+  a segment-sum with trace-time-constant bin indices.
+"""
+
+from __future__ import annotations
+
+import warnings
+from pathlib import Path
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+# --------------------------------------------------------------- DCT helpers
+def dct_2d(x: jnp.ndarray) -> jnp.ndarray:
+    """Orthonormal type-II DCT over the last two dims
+    (reference: metrics.py:251-267)."""
+    from jax.scipy.fft import dctn
+
+    return dctn(x, axes=(-2, -1), norm="ortho")
+
+
+def dct_var(x: jnp.ndarray) -> jnp.ndarray:
+    """Variance spectrum: fx**2 / n**2 (reference: metrics.py:269-284)."""
+    n = x.shape[-1]
+    fx = dct_2d(x)
+    return fx**2 / (n**2)
+
+
+def _radial_bin_constants(shape: Tuple[int, int]):
+    """Trace-time constants for the reference's 'double binning'
+    (reference: metrics.py:287-320)."""
+    h, w = shape
+    y, x = np.indices((h, w))
+    cx, cy = h // 2, w // 2
+    r = np.sqrt((x - cx) ** 2 + (y - cy) ** 2).astype(int)
+    rmax = min(x.max(), y.max(), r.max()) // 2
+    rr = r.ravel()
+    n = h * w
+    idx0 = np.clip(2 * rr, 0, n - 1)
+    idxm = np.clip(2 * rr - 1, 0, n - 1)
+    idxp = np.clip(2 * rr + 1, 0, n - 1)
+    valid = rr < rmax
+    seg = np.where(valid, rr, rmax)  # invalid points to an overflow bin
+    counts = np.bincount(rr[valid], minlength=rmax).astype(np.float32)
+    return idx0, idxm, idxp, seg, counts, rmax
+
+
+def radial_bin_dct(dct_sig: jnp.ndarray, shape: Tuple[int, int]) -> jnp.ndarray:
+    """Radially-averaged spectrum, (H, W) → (Rmax,)."""
+    idx0, idxm, idxp, seg, counts, rmax = _radial_bin_constants(shape)
+    flat = dct_sig.ravel()
+    val = flat[idx0] + 0.5 * flat[idxm] + 0.5 * flat[idxp]
+    binned = jax.ops.segment_sum(val, jnp.asarray(seg), num_segments=rmax + 1)[:rmax]
+    return binned / jnp.asarray(np.maximum(counts, 1.0))
+
+
+def power_spectral_density(x: jnp.ndarray) -> jnp.ndarray:
+    """Radially-averaged, batch-averaged PSD; (B, C, H, W) → (C, Rmax)
+    (reference: metrics.py:323-352)."""
+    sig = dct_var(x).mean(axis=0)  # (C, H, W)
+    return jax.vmap(lambda s: radial_bin_dct(s, x.shape[-2:]))(sig)
+
+
+def psd_rmax(shape: Tuple[int, int]) -> int:
+    return _radial_bin_constants(shape)[5]
+
+
+def _to_bchw(arr: jnp.ndarray, pred_step: int, grid_shape) -> jnp.ndarray:
+    """(B, T, *spatial, F) at pred_step → (B, F, H, W); unflattens the
+    ngrid dim of GRAPH models (reference: metrics.py:50-60)."""
+    x = arr[:, pred_step]
+    if x.ndim == 3:  # (B, ngrid, F)
+        x = x.reshape(x.shape[0], grid_shape[0], grid_shape[1], x.shape[-1])
+    return jnp.moveaxis(x, -1, 1)
+
+
+# ------------------------------------------------------------------ metrics
+class MetricPSDK:
+    """Epoch-averaged radial PSD of prediction and target at one pred step
+    (reference: metrics.py:13-144)."""
+
+    def __init__(
+        self,
+        save_path: Path,
+        feature_names: Tuple[str, ...],
+        grid_shape: Tuple[int, int],
+        pred_step: int = 0,
+    ):
+        self.save_path = Path(save_path)
+        self.feature_names = feature_names
+        self.grid_shape = tuple(grid_shape)
+        self.pred_step = pred_step
+        self.rmax = psd_rmax(self.grid_shape)
+        self._update = jax.jit(self._update_fn)
+
+    def init_state(self):
+        c = len(self.feature_names)
+        return {
+            "sum_psd_pred": jnp.zeros((c, self.rmax)),
+            "sum_psd_target": jnp.zeros((c, self.rmax)),
+            "step_count": jnp.zeros(()),
+        }
+
+    def _update_fn(self, state, preds, targets, mask):
+        p = _to_bchw(preds * mask, self.pred_step, self.grid_shape)
+        t = _to_bchw(targets * mask, self.pred_step, self.grid_shape)
+        return {
+            "sum_psd_pred": state["sum_psd_pred"] + power_spectral_density(p),
+            "sum_psd_target": state["sum_psd_target"] + power_spectral_density(t),
+            "step_count": state["step_count"] + 1.0,
+        }
+
+    def update(self, state, preds, targets, mask):
+        return self._update(state, preds, targets, mask)
+
+    def compute(self, state, prefix: str = "val") -> Dict[str, object]:
+        from py4cast_tpu.plots import plot_log_psd
+
+        mean_pred = np.asarray(state["sum_psd_pred"] / state["step_count"])
+        mean_target = np.asarray(state["sum_psd_target"] / state["step_count"])
+        rmax = mean_pred.shape[1]
+        k = np.linspace(2 * np.pi / 2.6, rmax * 2 * np.pi / 2.6, rmax)
+        out = {}
+        for c, name in enumerate(self.feature_names):
+            fig = plot_log_psd(
+                k,
+                mean_pred[c],
+                mean_target[c],
+                f"PSD for {name} at +{self.pred_step + 1}",
+            )
+            out[f"{prefix}_mean_psd_k/{name}"] = fig
+            dest = self.save_path / f"{prefix}_mean_psd_k" / f"{name}_{self.pred_step + 1}.png"
+            dest.parent.mkdir(parents=True, exist_ok=True)
+            fig.savefig(dest)
+        return out
+
+
+class MetricPSDVar:
+    """Epoch-mean RMSE between log10 PSDs of prediction and target
+    (reference: metrics.py:147-249)."""
+
+    def __init__(
+        self,
+        feature_names: Tuple[str, ...],
+        grid_shape: Tuple[int, int],
+        pred_step: int = 0,
+    ):
+        self.feature_names = feature_names
+        self.grid_shape = tuple(grid_shape)
+        self.pred_step = pred_step
+        self._update = jax.jit(self._update_fn)
+
+    def init_state(self):
+        return {
+            "sum_rmse": jnp.zeros((len(self.feature_names),)),
+            "step_count": jnp.zeros(()),
+        }
+
+    def _update_fn(self, state, preds, targets, mask):
+        p = _to_bchw(preds * mask, self.pred_step, self.grid_shape)
+        t = _to_bchw(targets * mask, self.pred_step, self.grid_shape)
+        psd_p = power_spectral_density(p)
+        psd_t = power_spectral_density(t)
+        eps = 1e-12
+        rmse = jnp.sqrt(
+            jnp.mean((jnp.log10(psd_t + eps) - jnp.log10(psd_p + eps)) ** 2, axis=1)
+        )
+        return {
+            "sum_rmse": state["sum_rmse"] + rmse,
+            "step_count": state["step_count"] + 1.0,
+        }
+
+    def update(self, state, preds, targets, mask):
+        return self._update(state, preds, targets, mask)
+
+    def compute(self, state, prefix: str = "val") -> Dict[str, float]:
+        mean = np.asarray(state["sum_rmse"] / state["step_count"])
+        return {
+            f"{prefix}_rmse_psd/{name}": float(mean[i])
+            for i, name in enumerate(self.feature_names)
+        }
+
+
+class MetricACC:
+    """Spatially-averaged anomaly correlation per feature and pred step,
+    vs scalar climate normals (reference: metrics.py:355-454)."""
+
+    def __init__(self, dataset_info, num_pred_steps: int):
+        warnings.warn(
+            "ACC uses scalar (non-spatial) climate normals — one value per "
+            "field (same caveat as the reference, metrics.py:365-371)."
+        )
+        names = tuple(dataset_info.output_feature_names)
+        self.feature_names = names
+        self.num_pred_steps = num_pred_steps
+        self.climate_means = jnp.asarray(dataset_info.stats.to_array("mean", names))
+        self._update = jax.jit(self._update_fn)
+
+    def init_state(self):
+        return {
+            "sum_acc": jnp.zeros((self.num_pred_steps, len(self.feature_names))),
+            "step_count": jnp.zeros(()),
+        }
+
+    def _update_fn(self, state, preds, targets, mask):
+        sp = tuple(range(2, preds.ndim - 1))
+        pa = (preds - self.climate_means) * mask
+        ta = (targets - self.climate_means) * mask
+        num = jnp.mean(pa * ta, axis=sp)
+        denom = jnp.mean(pa**2, axis=sp) * jnp.mean(ta**2, axis=sp)
+        acc = jnp.mean(num / jnp.sqrt(denom + 1e-12), axis=0)  # (T, F)
+        return {
+            "sum_acc": state["sum_acc"] + acc,
+            "step_count": state["step_count"] + 1.0,
+        }
+
+    def update(self, state, preds, targets, mask):
+        return self._update(state, preds, targets, mask)
+
+    def compute(self, state, prefix: str = "val") -> Dict[str, float]:
+        mean = np.asarray(state["sum_acc"] / state["step_count"])
+        return {
+            f"{prefix}_acc/{name}_step{j}": float(mean[j, i])
+            for i, name in enumerate(self.feature_names)
+            for j in range(self.num_pred_steps)
+        }

@@ -39,6 +39,12 @@ from py4cast_tpu.losses import CombinedLoss
 from py4cast_tpu.models import ModelType, build_model_from_settings, get_model_kls_and_settings
 from py4cast_tpu.named_tensor import NamedArray
 from py4cast_tpu.parallel.mesh import make_mesh, MeshConfig, shard_batch, replicated
+from py4cast_tpu.plots import (
+    PredictionEpochPlot,
+    PredictionTimestepPlot,
+    SpatialErrorPlot,
+    StateErrorPlot,
+)
 from py4cast_tpu.rollout import RolloutConfig, common_features_index, rollout
 from py4cast_tpu.utils import str_to_dtype
 
@@ -357,6 +363,41 @@ class AutoRegressiveModule:
         preds = fn(state, inputs, forcing, rng)
         return self._named(preds)
 
+    # ----------------------------------------------------------- aux wiring
+    def named_eval_arrays(self, preds, batch: ItemBatch):
+        """(pred, target, mask) for plotters/metrics, as NamedArrays +
+        float mask (reference: get_mask_on_nan, lightning.py:786-797)."""
+        outputs = self._flatten_graph(
+            jnp.asarray(np.asarray(batch.outputs.array, np.float32))
+        )
+        mask, target = self._mask_and_target(outputs)
+        return self._named(preds), self._named(target), mask
+
+    def make_scaled_loss(self, kind: str):
+        """Prepared ScaledLoss for plotters/score cards
+        (reference: lightning.py:869-886, 995-1015)."""
+        from py4cast_tpu.losses import ScaledLoss
+
+        loss = ScaledLoss("MSELoss" if kind == "rmse" else "L1Loss")
+        loss.prepare(
+            self.interior_mask_np, self.dataset_info, self.output_feature_names
+        )
+        return loss
+
+    def make_metrics(self, save_path, num_pred_steps: int):
+        """The PSD/ACC metric set updated during validation/test
+        (reference: lightning.py:311-325)."""
+        from py4cast_tpu.metrics import MetricACC, MetricPSDK, MetricPSDVar
+
+        grid_shape = self.dataset_info.statics.grid_shape
+        return {
+            "psd_k": MetricPSDK(
+                save_path, self.output_feature_names, grid_shape
+            ),
+            "psd_var": MetricPSDVar(self.output_feature_names, grid_shape),
+            "acc": MetricACC(self.dataset_info, num_pred_steps),
+        }
+
     # --------------------------------------------------------------- manifest
     def manifest(self) -> dict:
         """Self-describing artifact metadata (reference: lightning.py:338-354)."""
@@ -396,6 +437,9 @@ class TrainerConfig:
     limit_train_batches: Optional[int] = None
     limit_val_batches: Optional[int] = None
     check_val_every_n_epoch: int = 1
+    logging_enabled: bool = True
+    plot_period: int = 1  # epochs between plotter updates (reference PLOT_PERIOD)
+    num_samples_to_plot: int = 1
     early_stopping_patience: int = 50
     save_path: str = "runs/default"
     log_every_n_steps: int = 10
@@ -486,6 +530,39 @@ class Trainer:
             # ------------------------------ validate
             val_loss = float("nan")
             if (epoch + 1) % cfg.check_val_every_n_epoch == 0 or cfg.fast_dev_run:
+                module._plot_loggers = self.loggers
+                module.current_epoch = epoch
+                do_plots = (
+                    cfg.logging_enabled
+                    and not cfg.fast_dev_run
+                    and epoch % cfg.plot_period == 0
+                )
+                plotters, metrics, metric_states = [], {}, {}
+                if do_plots:
+                    # (reference: on_validation_start, lightning.py:864-886)
+                    plotters = [
+                        StateErrorPlot(
+                            {"mae": module.make_scaled_loss("mae")},
+                            prefix="Validation",
+                            save_path=self.save_path,
+                        ),
+                        PredictionTimestepPlot(
+                            num_samples_to_plot=cfg.num_samples_to_plot,
+                            num_features_to_plot=4,
+                            prefix="Validation",
+                            save_path=self.save_path,
+                        ),
+                        PredictionEpochPlot(
+                            num_samples_to_plot=cfg.num_samples_to_plot,
+                            num_features_to_plot=4,
+                            prefix="Validation",
+                            save_path=self.save_path,
+                        ),
+                    ]
+                    metrics = module.make_metrics(
+                        self.save_path, module.settings.num_pred_steps_val_test
+                    )
+                    metric_states = {k: m.init_state() for k, m in metrics.items()}
                 vlosses = []
                 for i, batch in enumerate(val_loader):
                     if cfg.limit_val_batches and i >= cfg.limit_val_batches:
@@ -493,11 +570,32 @@ class Trainer:
                     if cfg.fast_dev_run and i >= 1:
                         break
                     rng, step_rng = jax.random.split(rng)
-                    _, per_step, loss = module.eval_step(state, batch, step_rng)
+                    preds, per_step, loss = module.eval_step(state, batch, step_rng)
                     vlosses.append(float(loss))
+                    if do_plots:
+                        pred_na, target_na, mask = module.named_eval_arrays(
+                            preds, batch
+                        )
+                        for p in plotters:
+                            p.update(module, batch, pred_na, target_na, mask)
+                        for k, m in metrics.items():
+                            metric_states[k] = m.update(
+                                metric_states[k], pred_na.array, target_na.array, mask
+                            )
                 val_loss = float(np.mean(vlosses)) if vlosses else float("nan")
                 self._log("val_mean_loss", val_loss, global_step)
                 self._log("mean_loss_epoch/validation", val_loss, global_step)
+                if do_plots and vlosses:
+                    # (reference: on_validation_epoch_end, lightning.py:944-989)
+                    for p in plotters:
+                        p.on_step_end(module, label="Valid")
+                    for k, m in metrics.items():
+                        for name, val in m.compute(metric_states[k], "val").items():
+                            if isinstance(val, float):
+                                self._log(name, val, global_step)
+                            else:
+                                for lg in self.loggers:
+                                    lg.log_figure(name, val, global_step)
 
             print(
                 f"epoch {epoch + 1}/{max_epochs} "
@@ -519,18 +617,54 @@ class Trainer:
         return state
 
     def test(self, module: AutoRegressiveModule, test_ds, state):
-        """Scoring loop: per-timestep losses + metric accumulation
+        """Scoring loop: per-timestep losses, mae/rmse score cards,
+        spatial-error map, PSD/ACC metrics, JSON score files
         (reference: lightning.py:995-1099)."""
         cfg = self.config
         rng = jax.random.key(0)
+        module._plot_loggers = self.loggers
+        module.current_epoch = 0
         loader = test_ds.loader(batch_size=cfg.batch_size, num_workers=cfg.num_workers)
+
+        plotters, metrics, metric_states = [], {}, {}
+        if cfg.logging_enabled:
+            # (reference: on_test_start, lightning.py:995-1015)
+            plotters = [
+                StateErrorPlot(
+                    {
+                        "mae": module.make_scaled_loss("mae"),
+                        "rmse": module.make_scaled_loss("rmse"),
+                    },
+                    prefix="Test",
+                    save_path=self.save_path,
+                ),
+                SpatialErrorPlot(prefix="Test", save_path=self.save_path),
+                PredictionTimestepPlot(
+                    num_samples_to_plot=cfg.num_samples_to_plot,
+                    prefix="Test",
+                    save_path=self.save_path,
+                ),
+            ]
+            metrics = module.make_metrics(
+                self.save_path, module.settings.num_pred_steps_val_test
+            )
+            metric_states = {k: m.init_state() for k, m in metrics.items()}
+
         per_step_losses = []
         for i, batch in enumerate(loader):
             if cfg.limit_val_batches and i >= cfg.limit_val_batches:
                 break
             rng, step_rng = jax.random.split(rng)
-            _, per_step, _ = module.eval_step(state, batch, step_rng)
+            preds, per_step, _ = module.eval_step(state, batch, step_rng)
             per_step_losses.append(np.asarray(per_step))
+            if cfg.logging_enabled:
+                pred_na, target_na, mask = module.named_eval_arrays(preds, batch)
+                for p in plotters:
+                    p.update(module, batch, pred_na, target_na, mask)
+                for k, m in metrics.items():
+                    metric_states[k] = m.update(
+                        metric_states[k], pred_na.array, target_na.array, mask
+                    )
         if not per_step_losses:
             return {}
         mean_per_step = np.mean(np.stack(per_step_losses), axis=0)
@@ -539,6 +673,17 @@ class Trainer:
             for s, v in enumerate(mean_per_step)
         }
         scores["test_mean_loss"] = float(np.mean(mean_per_step))
+        if cfg.logging_enabled:
+            # (reference: on_test_epoch_end, lightning.py:1065-1099)
+            for p in plotters:
+                p.on_step_end(module, label="Test")
+            for k, m in metrics.items():
+                for name, val in m.compute(metric_states[k], "test").items():
+                    if isinstance(val, float):
+                        scores[name] = val
+                    else:
+                        for lg in self.loggers:
+                            lg.log_figure(name, val, 0)
         with open(self.save_path / "test_scores.json", "w") as f:
             json.dump(scores, f, indent=1)
         for k, v in scores.items():
