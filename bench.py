@@ -32,13 +32,24 @@ def main():
     from py4cast_tpu.training import AutoRegressiveModule, TrainingSettings
 
     batch_size = int(os.environ.get("BENCH_BATCH", "1"))
-    grid = (512, 640)
+    model = os.environ.get("BENCH_MODEL", "HalfUNet")
+    # per-model benchmark configs; HiLAM mirrors the reference's recorded
+    # measurement (1 AR step, batch 1, 500×500 grid, doc/num_steps.md:119)
+    configs = {
+        "HalfUNet": ((512, 640), {"num_filters": 64}),
+        "UNetRPP": ((512, 640), {"hidden_size": 256, "downsampling_rate": 4}),
+        "HiLAM": ((500, 500), {"hidden_dims": 64, "processor_layers": 4,
+                               "mesh_levels": 3}),
+        "GraphLAM": ((500, 500), {"hidden_dims": 64, "processor_layers": 4,
+                                  "mesh_levels": 3}),
+    }
+    grid, init_args = configs.get(model, ((512, 640), {}))
     info = synthetic_dataset_info(
         grid_shape=grid, weather_features=21, forcing_features=21
     )
     settings = TrainingSettings(
-        model_name=os.environ.get("BENCH_MODEL", "HalfUNet"),
-        settings_init_args={"num_filters": 64},
+        model_name=model,
+        settings_init_args=init_args,
         training_strategy="scaled_ar",
         num_input_steps=2,
         precision=os.environ.get("BENCH_PRECISION", "bf16"),
@@ -71,7 +82,10 @@ def main():
     print(
         json.dumps(
             {
-                "metric": "halfunet_titan512x640_train_samples_per_sec_per_chip",
+                "metric": (
+                    f"{model.lower()}_{grid[0]}x{grid[1]}"
+                    f"_train_samples_per_sec_per_chip"
+                ),
                 "value": round(sps, 3),
                 "unit": "samples/s",
                 "vs_baseline": round(sps / BASELINE_SAMPLES_PER_SEC, 2),

@@ -10,6 +10,10 @@ from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
+from py4cast_tpu.utils import apply_env_platform  # noqa: E402
+
+apply_env_platform()
+
 from py4cast_tpu.cli import main  # noqa: E402
 from py4cast_tpu.parallel.mesh import maybe_init_distributed  # noqa: E402
 

@@ -155,7 +155,12 @@ def build_all(conf: dict):
     trainer_conf.setdefault("num_workers", data_cfg.num_workers)
     tcfg = TrainerConfig(**_filter_fields(TrainerConfig, trainer_conf))
 
-    module = AutoRegressiveModule(settings, dm.train_dataset_info)
+    from py4cast_tpu.parallel.mesh import MeshConfig, make_mesh
+
+    mesh = make_mesh(
+        MeshConfig(data_parallel=tcfg.mesh_data_parallel, spatial=tcfg.mesh_spatial)
+    )
+    module = AutoRegressiveModule(settings, dm.train_dataset_info, mesh=mesh)
     trainer = Trainer(tcfg, loggers=default_loggers(Path(tcfg.save_path)))
     return dm, module, trainer, ckpt_path
 

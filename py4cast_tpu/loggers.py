@@ -53,11 +53,40 @@ class TensorBoardLogger:
         self.writer.close()
 
 
-def default_loggers(save_dir: Path, tensorboard: bool = True):
+class MLFlowLogger:
+    """Optional MLflow scalar/figure logging (reference:
+    trainer.yaml:20-27; lazily imported, absent mlflow degrades)."""
+
+    def __init__(self, tracking_uri: Optional[str] = None,
+                 experiment: str = "py4cast_tpu"):
+        import mlflow
+
+        self._mlflow = mlflow
+        if tracking_uri:
+            mlflow.set_tracking_uri(tracking_uri)
+        mlflow.set_experiment(experiment)
+        self._run = mlflow.start_run()
+
+    def log_scalar(self, tag: str, value: float, step: int):
+        self._mlflow.log_metric(tag.replace("/", "."), value, step=step)
+
+    def log_figure(self, tag: str, fig, step: int):
+        self._mlflow.log_figure(fig, f"figures/{tag.replace('/', '_')}_{step}.png")
+
+    def close(self):
+        self._mlflow.end_run()
+
+
+def default_loggers(save_dir: Path, tensorboard: bool = True, mlflow: bool = False):
     loggers = [CSVLogger(save_dir)]
     if tensorboard:
         try:
             loggers.append(TensorBoardLogger(Path(save_dir) / "tb"))
+        except ImportError:
+            pass
+    if mlflow:
+        try:
+            loggers.append(MLFlowLogger())
         except ImportError:
             pass
     return loggers

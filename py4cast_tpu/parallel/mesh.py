@@ -58,32 +58,52 @@ def make_mesh(config: MeshConfig = MeshConfig(), devices=None) -> Mesh:
     return Mesh(dev_array, (DATA_AXIS, SPATIAL_AXIS))
 
 
-def batch_sharding(mesh: Mesh, spatial_dims: Tuple[int, ...] = ()) -> NamedSharding:
-    """Sharding for a (B, ...) batch array: batch over 'data', optionally
-    the first spatial dim over 'spatial'."""
-    spec = [DATA_AXIS] + [None] * 16
-    for d in spatial_dims:
-        spec[d] = SPATIAL_AXIS
-    return NamedSharding(mesh, P(*spec[:1]))
+def batch_sharding(mesh: Mesh, ndim: int, lat_axis: Optional[int] = None
+                   ) -> NamedSharding:
+    """Sharding for a (B, …) batch array: batch over 'data'; when the mesh
+    has a spatial axis > 1, the lat dim is sharded over 'spatial' (XLA
+    inserts halo exchanges for convolutions automatically — the TPU-native
+    'context parallel' analog for large grids, SURVEY.md §2.3)."""
+    spec: list = [DATA_AXIS] + [None] * (ndim - 1)
+    if lat_axis is not None and mesh.shape[SPATIAL_AXIS] > 1:
+        spec[lat_axis] = SPATIAL_AXIS
+    return NamedSharding(mesh, P(*spec))
+
+
+def statics_sharding(mesh: Mesh, ndim: int, lat_axis: int = 0) -> NamedSharding:
+    """Sharding for per-grid static arrays (lat, lon, S)."""
+    spec: list = [None] * ndim
+    if mesh.shape[SPATIAL_AXIS] > 1:
+        spec[lat_axis] = SPATIAL_AXIS
+    return NamedSharding(mesh, P(*spec))
 
 
 def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
-def shard_batch(mesh: Mesh, *arrays):
-    """device_put host arrays with batch-axis sharding (one H2D transfer
-    each, split across devices)."""
-    sh = NamedSharding(mesh, P(DATA_AXIS))
+def shard_batch(mesh: Mesh, *arrays, lat_axis: Optional[int] = None):
+    """device_put host arrays with batch (and optionally lat) sharding —
+    one H2D transfer each, split across devices."""
     dp = mesh.shape[DATA_AXIS]
+    sp = mesh.shape[SPATIAL_AXIS]
+    out = []
     for a in arrays:
-        if a is not None and a.shape[0] % dp:
+        if a is None:
+            out.append(None)
+            continue
+        if a.shape[0] % dp:
             raise ValueError(
                 f"Batch size {a.shape[0]} is not divisible by the data-parallel "
                 f"mesh axis ({dp} devices); adjust batch_size or the mesh "
                 f"(MeshConfig.data_parallel)."
             )
-    out = tuple(
-        None if a is None else jax.device_put(a, sh) for a in arrays
-    )
+        la = lat_axis
+        if la is not None and sp > 1 and a.shape[la] % sp:
+            raise ValueError(
+                f"Spatial dim {a.shape[la]} is not divisible by the spatial "
+                f"mesh axis ({sp})."
+            )
+        out.append(jax.device_put(a, batch_sharding(mesh, a.ndim, la)))
+    out = tuple(out)
     return out if len(out) > 1 else out[0]

@@ -141,15 +141,32 @@ class AutoRegressiveModule:
         )
 
         # --- static rollout inputs ---
+        from py4cast_tpu.parallel.mesh import SPATIAL_AXIS, statics_sharding
+
+        spatial_shards = int(self.mesh.shape[SPATIAL_AXIS])
+        if self.is_graph and spatial_shards > 1:
+            raise ValueError(
+                "Spatial mesh sharding is only supported for grid (CNN/ViT) "
+                "models; GRAPH models require spatial=1."
+            )
+        if spatial_shards > 1 and grid_shape[0] % spatial_shards:
+            raise ValueError(
+                f"Grid lat size {grid_shape[0]} is not divisible by the "
+                f"spatial mesh axis ({spatial_shards})."
+            )
         if self.is_graph:
             statics = statics.flatten_spatial()
-        self.grid_statics = jnp.asarray(
-            np.asarray(statics.grid_statics.array, np.float32)
+        st_sh = statics_sharding(self.mesh, 3)
+        self.grid_statics = jax.device_put(
+            np.asarray(statics.grid_statics.array, np.float32),
+            replicated(self.mesh) if self.is_graph else st_sh,
         )
-        self.border_mask = jnp.asarray(
-            np.asarray(statics.border_mask, np.float32)
+        self.border_mask = jax.device_put(
+            np.asarray(statics.border_mask, np.float32),
+            replicated(self.mesh) if self.is_graph else st_sh,
         )
         self.interior_mask_np = np.asarray(statics.interior_mask, np.float32)
+        self._batch_lat_axis = None if self.is_graph else 2
 
         out_names = tuple(dataset_info.output_feature_names)
         forcing_names = tuple(dataset_info.forcing_feature_names)
@@ -343,8 +360,12 @@ class AutoRegressiveModule:
                 jnp.float32,
             )
         if with_outputs:
-            return shard_batch(self.mesh, inputs, forcing, outputs)
-        inputs, forcing = shard_batch(self.mesh, inputs, forcing)
+            return shard_batch(
+                self.mesh, inputs, forcing, outputs, lat_axis=self._batch_lat_axis
+            )
+        inputs, forcing = shard_batch(
+            self.mesh, inputs, forcing, lat_axis=self._batch_lat_axis
+        )
         return inputs, forcing, None
 
     def train_step(self, state, batch: ItemBatch, rng):
@@ -358,10 +379,34 @@ class AutoRegressiveModule:
         return fn(state, inputs, forcing, outputs, rng)
 
     def predict_step(self, state, batch: ItemBatch, rng):
+        self.check_feature_contract(batch)
         inputs, forcing, _ = self._batch_arrays(batch, with_outputs=False)
         fn = self._get_jitted("predict", batch.num_pred_steps)
         preds = fn(state, inputs, forcing, rng)
         return self._named(preds)
+
+    def check_feature_contract(self, batch: ItemBatch):
+        """Inference-time contract check: the batch's feature names must
+        match what the module was built for (reference: lightning.py:1123-1128,
+        against names stored in the checkpoint at :338-354)."""
+        batch_out = tuple(batch.outputs.feature_names) if batch.outputs else ()
+        if batch_out and batch_out != self.output_feature_names:
+            raise ValueError(
+                f"Feature-name contract mismatch: model was trained on "
+                f"{self.output_feature_names}, batch provides {batch_out}"
+            )
+
+    def load_raw_params(self, state, params_path):
+        """Escape hatch: inject raw params from any orbax tree into the
+        current state, ignoring optimizer state — the analog of the
+        reference's use_old_weights (lightning.py:1105-1116)."""
+        import orbax.checkpoint as ocp
+        from pathlib import Path as _P
+
+        restored = ocp.StandardCheckpointer().restore(
+            _P(params_path).absolute(), target=state
+        )
+        return state.replace(params=restored.params)
 
     # ----------------------------------------------------------- aux wiring
     def named_eval_arrays(self, preds, batch: ItemBatch):
@@ -440,6 +485,9 @@ class TrainerConfig:
     logging_enabled: bool = True
     plot_period: int = 1  # epochs between plotter updates (reference PLOT_PERIOD)
     num_samples_to_plot: int = 1
+    # device mesh layout: data_parallel × spatial (-1 = all remaining)
+    mesh_data_parallel: int = -1
+    mesh_spatial: int = 1
     early_stopping_patience: int = 50
     save_path: str = "runs/default"
     log_every_n_steps: int = 10
@@ -503,6 +551,11 @@ class Trainer:
             f"{module.settings.training_strategy} | devices: "
             f"{module.mesh.devices.size}"
         )
+        self._dump_run_info(module)
+        profile_dir = None
+        if cfg.profiler == "jax":
+            profile_dir = self.save_path / "profile"
+            jax.profiler.start_trace(str(profile_dir))
 
         global_step = 0
         epochs_no_improve = 0
@@ -521,6 +574,12 @@ class Trainer:
                 global_step += 1
                 if global_step % cfg.log_every_n_steps == 0:
                     self._log("train/loss", float(loss), global_step)
+                    # LR monitor (reference: trainer.yaml:46-48)
+                    if hasattr(module, "_schedule"):
+                        self._log(
+                            "lr-AdamW", float(module._schedule(global_step)),
+                            global_step,
+                        )
             train_loss = float(np.mean([float(l) for l in losses])) if losses else float("nan")
             dt_train = time.perf_counter() - t0
             sps = len(losses) * cfg.batch_size / max(dt_train, 1e-9)
@@ -614,7 +673,31 @@ class Trainer:
                     if epochs_no_improve >= cfg.early_stopping_patience:
                         print(f"Early stopping at epoch {epoch + 1}")
                         break
+        if profile_dir is not None:
+            jax.profiler.stop_trace()
+            print(f"Profiler trace written to {profile_dir}")
         return state
+
+    def _dump_run_info(self, module: AutoRegressiveModule):
+        """Dump git commit/status + run summary to the run dir for
+        reproducibility (reference: lightning.py:421-436)."""
+        import subprocess
+
+        info = {"save_path": str(self.save_path)}
+        try:
+            info["git_commit"] = subprocess.run(
+                ["git", "rev-parse", "HEAD"], capture_output=True, text=True,
+                timeout=5,
+            ).stdout.strip()
+            info["git_status"] = subprocess.run(
+                ["git", "status", "--short"], capture_output=True, text=True,
+                timeout=5,
+            ).stdout
+        except (OSError, subprocess.SubprocessError):
+            pass
+        info["model_name"] = module.settings.model_name
+        with open(self.save_path / "run_info.json", "w") as f:
+            json.dump({k: v for k, v in info.items() if v is not None}, f, indent=1)
 
     def test(self, module: AutoRegressiveModule, test_ds, state):
         """Scoring loop: per-timestep losses, mae/rmse score cards,

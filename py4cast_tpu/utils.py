@@ -38,3 +38,18 @@ str_to_dtype: Dict[str, jnp.dtype] = {
 def nan_to_num(arr, nan: float = 0.0):
     xp = np if isinstance(arr, np.ndarray) else jnp
     return xp.nan_to_num(arr, nan=nan)
+
+
+def apply_env_platform():
+    """Honor the JAX_PLATFORMS env var even when a sitecustomize pins
+    jax.config.jax_platforms to a TPU plugin. Call before first backend use."""
+    import os
+
+    import jax
+
+    env = os.environ.get("JAX_PLATFORMS")
+    if env:
+        try:
+            jax.config.update("jax_platforms", env)
+        except Exception:  # backend already initialized — keep as-is
+            pass

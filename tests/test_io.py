@@ -1,0 +1,91 @@
+"""I/O output tests: grid embedding, masked fill, path-template
+validation, GIF export (reference analog: tests/test_io.py:23-195)."""
+
+import datetime as dt
+
+import numpy as np
+import pytest
+
+from py4cast_tpu.io.outputs import (
+    OutputSavingSettings,
+    feature2fid,
+    fill_tensor_with,
+    match_latlon,
+    save_gifs,
+)
+from py4cast_tpu.named_tensor import NamedArray
+
+
+def test_match_latlon_exact():
+    lat = np.linspace(40, 50, 11)
+    lon = np.linspace(0, 10, 11)
+    ls, lo = match_latlon(lat, lon, lat, lon)
+    assert ls == slice(0, 11) and lo == slice(0, 11)
+
+
+def test_match_latlon_embeddable():
+    tlat = np.linspace(30, 60, 31)
+    tlon = np.linspace(-10, 20, 31)
+    glat = tlat[5:16]
+    glon = tlon[3:14]
+    ls, lo = match_latlon(glat, glon, tlat, tlon)
+    assert ls == slice(5, 16) and lo == slice(3, 14)
+
+
+def test_match_latlon_mismatch_raises():
+    tlat = np.linspace(30, 40, 11)
+    tlon = np.linspace(0, 10, 11)
+    glat = np.linspace(50, 60, 11)  # outside template
+    with pytest.raises(ValueError):
+        match_latlon(glat, tlon, tlat, tlon)
+
+
+def test_fill_tensor_with_masks_outside():
+    vals = np.ones((3, 4), np.float32)
+    out = fill_tensor_with((10, 10), vals, slice(2, 5), slice(1, 5))
+    assert out[2, 1] == 1.0
+    assert np.ma.is_masked(out[0, 0])
+    assert out.count() == 12  # only the embedded values are unmasked
+
+
+@pytest.mark.parametrize(
+    "path,kwargs,ids,ok",
+    [
+        ("{}/{}.grib", ("run",), ("date",), True),
+        ("{}/{}/{}.grib", ("run",), ("date",), False),  # too many placeholders
+        ("{}.grib", ("run",), ("date",), False),  # too few
+    ],
+)
+def test_output_settings_placeholder_validation(path, kwargs, ids, ok):
+    """(reference: io/outputs.py:17-113 — format-string validation)"""
+    mk = lambda: OutputSavingSettings(
+        path_to_runtime=path, output_kwargs=kwargs, sample_identifiers=ids
+    )
+    if ok:
+        s = mk()
+        assert s.get_path("20240101") == "run/20240101.grib"
+    else:
+        with pytest.raises(ValueError):
+            mk()
+
+
+def test_feature2fid_known_and_generic():
+    fid = feature2fid("aro_t2m_2_heightAboveGround")
+    assert fid["shortName"] == "2t" and fid["level"] == 2
+    fid = feature2fid("aro_foo_500_isobaricInhPa")
+    assert fid == {
+        "shortName": "foo",
+        "typeOfLevel": "isobaricInhPa",
+        "level": 500,
+    }
+    assert feature2fid("nounderscores") is None
+
+
+def test_save_gifs(tmp_path):
+    pred = NamedArray(
+        np.random.default_rng(0).standard_normal((3, 16, 16, 1)).astype(np.float32),
+        ("timestep", "lat", "lon", "features"),
+        ("aro_t2m_2m",),
+    )
+    paths = save_gifs(pred, tmp_path, prefix="x")
+    assert len(paths) == 1 and paths[0].exists()

@@ -1,0 +1,83 @@
+"""Mesh/sharding tests on the virtual 8-device CPU mesh: pure data
+parallel, data × spatial sharding (conv halo exchange via XLA), and
+numerical equivalence between mesh layouts."""
+
+import jax
+import numpy as np
+import pytest
+
+from py4cast_tpu.parallel.mesh import MeshConfig, make_mesh, shard_batch
+from py4cast_tpu.testing import synthetic_batch, synthetic_dataset_info
+from py4cast_tpu.training import AutoRegressiveModule, TrainingSettings
+
+
+def _settings(**kw):
+    base = dict(
+        model_name="HalfUNet",
+        settings_init_args={"num_filters": 8, "depth": 2},
+        training_strategy="scaled_ar",
+        num_input_steps=2,
+        num_warmup_steps=2,
+    )
+    base.update(kw)
+    return TrainingSettings(**base)
+
+
+INFO = synthetic_dataset_info(
+    grid_shape=(32, 32), weather_features=3, forcing_features=6, border_size=2
+)
+
+
+def _run_loss(mesh, batch_size=8):
+    module = AutoRegressiveModule(_settings(), INFO, mesh=mesh)
+    state = module.init_state(jax.random.key(0), 4)
+    batch = synthetic_batch(INFO, batch_size=batch_size, num_pred_steps=2)
+    _, loss = module.train_step(state, batch, jax.random.key(1))
+    return float(loss)
+
+
+def test_mesh_shapes():
+    mesh = make_mesh(MeshConfig(data_parallel=4, spatial=2))
+    assert mesh.shape["data"] == 4 and mesh.shape["spatial"] == 2
+    with pytest.raises(ValueError):
+        make_mesh(MeshConfig(data_parallel=3, spatial=2))
+
+
+def test_data_parallel_loss_matches_single_device():
+    """The global batch loss must be identical (up to float tolerance)
+    whether computed on 1 device or sharded over 8."""
+    single = make_mesh(MeshConfig(data_parallel=1), jax.devices()[:1])
+    dp8 = make_mesh(MeshConfig(data_parallel=8))
+    l1 = _run_loss(single)
+    l8 = _run_loss(dp8)
+    assert l1 == pytest.approx(l8, rel=1e-4)
+
+
+def test_spatial_sharding_matches_unsharded():
+    """dp4 × spatial2 must produce the same loss as unsharded — XLA's
+    halo exchanges around the sharded lat dim must be exact."""
+    single = make_mesh(MeshConfig(data_parallel=1), jax.devices()[:1])
+    dp4sp2 = make_mesh(MeshConfig(data_parallel=4, spatial=2))
+    l1 = _run_loss(single, batch_size=8)
+    l42 = _run_loss(dp4sp2, batch_size=8)
+    assert l1 == pytest.approx(l42, rel=1e-4)
+
+
+def test_graph_model_rejects_spatial_sharding():
+    mesh = make_mesh(MeshConfig(data_parallel=4, spatial=2))
+    with pytest.raises(ValueError, match="spatial"):
+        AutoRegressiveModule(
+            _settings(
+                model_name="GraphLAM",
+                settings_init_args={"hidden_dims": 8, "mesh_levels": 2},
+            ),
+            INFO,
+            mesh=mesh,
+        )
+
+
+def test_indivisible_spatial_dim_rejected():
+    mesh = make_mesh(MeshConfig(data_parallel=2, spatial=4))
+    info = synthetic_dataset_info(grid_shape=(30, 32), border_size=2)
+    with pytest.raises(ValueError, match="divisible"):
+        AutoRegressiveModule(_settings(), info, mesh=mesh)
