@@ -66,15 +66,16 @@ def main():
     inputs, forcing, outputs = module._batch_arrays(batch)
     step_fn = module._get_jitted("train", batch.num_pred_steps)
 
+    graph = module._graph_buffers
     # warmup (compile)
     for _ in range(3):
-        state, loss = step_fn(state, inputs, forcing, outputs, rng)
+        state, loss = step_fn(state, inputs, forcing, outputs, rng, graph)
     loss.block_until_ready()
 
     n_steps = int(os.environ.get("BENCH_STEPS", "20"))
     t0 = time.perf_counter()
     for _ in range(n_steps):
-        state, loss = step_fn(state, inputs, forcing, outputs, rng)
+        state, loss = step_fn(state, inputs, forcing, outputs, rng, graph)
     loss.block_until_ready()
     dt = time.perf_counter() - t0
 

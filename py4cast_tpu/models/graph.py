@@ -238,8 +238,12 @@ class InteractionNetwork(nn.Module):
 
     Sender and receiver node sets may differ (bipartite). Edge update:
     e' = MLP([e, v_s, v_r]); node update: v' = MLP([v, Σ_in e']) with
-    residuals on both. Aggregation is segment-sum on the MXU-friendly
-    sorted-by-destination layout.
+    residuals on both. All index ops are scatter-free gathers
+    (py4cast_tpu.ops.graph_ops) — XLA-TPU compiles scatters pathologically
+    slowly, gathers are fast both to compile and to run.
+
+    ``edges`` is the dict slice of graph_arrays for one edge set:
+    {src, dst, src_table, dst_table, dst_count}.
     """
 
     hidden_dim: int
@@ -248,21 +252,18 @@ class InteractionNetwork(nn.Module):
     update_edges: bool = True
 
     @nn.compact
-    def __call__(self, v_src, v_dst, e, src_idx, dst_idx, n_dst: int):
+    def __call__(self, v_src, v_dst, e, edges: dict):
+        from py4cast_tpu.ops.graph_ops import edge_aggregate, gather_nodes
+
         # v_src: (B, Ns, h), v_dst: (B, Nd, h), e: (B, E, h)
-        vs = jnp.take(v_src, src_idx, axis=1)
-        vd = jnp.take(v_dst, dst_idx, axis=1)
+        vs = gather_nodes(v_src, edges["src"], edges["src_table"])
+        vd = gather_nodes(v_dst, edges["dst"], edges["dst_table"])
         e_new = MLP(self.hidden_dim, self.hidden_dim, self.hidden_layers)(
             jnp.concatenate([e, vs, vd], axis=-1)
         )
-        agg = jax.vmap(
-            lambda ee: jax.ops.segment_sum(ee, dst_idx, num_segments=n_dst)
-        )(e_new)
+        agg = edge_aggregate(e_new, edges["dst_table"], edges["dst"])
         if self.aggr == "mean":
-            counts = jax.ops.segment_sum(
-                jnp.ones_like(dst_idx, jnp.float32), dst_idx, num_segments=n_dst
-            )
-            agg = agg / jnp.maximum(counts, 1.0)[None, :, None]
+            agg = agg / jnp.maximum(edges["dst_count"], 1.0)[None, :, None]
         v_new = MLP(self.hidden_dim, self.hidden_dim, self.hidden_layers)(
             jnp.concatenate([v_dst, agg], axis=-1)
         )
@@ -271,8 +272,92 @@ class InteractionNetwork(nn.Module):
         return v_out, e_out
 
 
+def _edge_dict(garr: dict, prefix: str) -> dict:
+    return {
+        k: garr[f"{prefix}_{k}"]
+        for k in ("src", "dst", "src_table", "dst_table", "dst_count")
+    }
+
+
+class _FlatProcessorStep(nn.Module):
+    """One scanned processor layer on the flat mesh graph. Scanning over
+    stacked per-layer params compiles ONE layer body regardless of
+    ``processor_layers`` — the big XLA compile-time lever."""
+
+    hidden_dim: int
+    hidden_layers: int
+    aggr: str
+
+    @nn.compact
+    def __call__(self, carry, _):
+        v, e, edges = carry
+        v, e = InteractionNetwork(
+            self.hidden_dim, self.hidden_layers, self.aggr, name="block"
+        )(v, v, e, edges)
+        return (v, e, edges), None
+
+
+class _HiLAMSweepStep(nn.Module):
+    """One scanned HiLAM processor layer: sweep up the hierarchy then back
+    down, updating inter-level and intra-level edges at each stop."""
+
+    hidden_dim: int
+    hidden_layers: int
+    aggr: str
+    level_sizes: Tuple[int, ...]
+
+    @nn.compact
+    def __call__(self, carry, _):
+        mesh_v, intra_e, up_e, down_e, garr = carry
+        mesh_v, intra_e, up_e, down_e = (
+            list(mesh_v), list(intra_e), list(up_e), list(down_e)
+        )
+        L = len(self.level_sizes)
+
+        def inet(name):
+            return InteractionNetwork(
+                self.hidden_dim, self.hidden_layers, self.aggr, name=name
+            )
+
+        for l in range(L - 1):  # sweep up
+            mesh_v[l + 1], up_e[l] = inet(f"up_{l}")(
+                mesh_v[l], mesh_v[l + 1], up_e[l], _edge_dict(garr, f"up_{l}")
+            )
+            mesh_v[l + 1], intra_e[l + 1] = inet(f"intra_up_{l + 1}")(
+                mesh_v[l + 1], mesh_v[l + 1], intra_e[l + 1],
+                _edge_dict(garr, f"intra_{l + 1}"),
+            )
+        for l in reversed(range(L - 1)):  # sweep down
+            mesh_v[l], down_e[l] = inet(f"down_{l}")(
+                mesh_v[l + 1], mesh_v[l], down_e[l], _edge_dict(garr, f"down_{l}")
+            )
+            mesh_v[l], intra_e[l] = inet(f"intra_down_{l}")(
+                mesh_v[l], mesh_v[l], intra_e[l], _edge_dict(garr, f"intra_{l}")
+            )
+        return (tuple(mesh_v), tuple(intra_e), tuple(up_e), tuple(down_e),
+                garr), None
+
+
+def _scan_layers(step_kls, num_layers: int, name: str, **kwargs):
+    """nn.scan over stacked per-layer params: one compiled body."""
+    return nn.scan(
+        step_kls,
+        variable_axes={"params": 0},
+        split_rngs={"params": True},
+        length=num_layers,
+    )(name=name, **kwargs)
+
+
 class _GraphModelBase(ModelBase):
-    """Shared embed → g2m → process → m2g → decode skeleton."""
+    """Shared embed → g2m → process → m2g → decode skeleton.
+
+    Static graph arrays are NOT module state: ``graph_arrays`` builds a
+    name→numpy dict once, the training layer device_puts it, and
+    ``__call__`` receives it as an explicit argument — so XLA sees jit
+    parameters, never million-element literal constants, and params can
+    be initialized against a tiny surrogate graph (param shapes depend
+    only on feature dims).
+    """
 
     graph: Optional[GraphArtifacts] = None
 
@@ -285,198 +370,43 @@ class _GraphModelBase(ModelBase):
     def build_graph(cls, settings, meshgrid) -> GraphArtifacts:
         return build_graph_artifacts(np.asarray(meshgrid), settings)
 
-    # ---- shared pieces (called inside subclasses' @nn.compact __call__)
-    def _embed(self, x):
-        g = self.graph
-        s = self.settings
-        h = s.hidden_dims
-        b = x.shape[0]
-        grid_v = MLP(h, h, s.hidden_layers, name="grid_embed")(x)
-        mesh_v = [
-            jnp.broadcast_to(
-                MLP(h, h, s.hidden_layers, name=f"mesh_embed_{l}")(
-                    jnp.asarray(lvl_pos)
-                )[None],
-                (b, lvl_pos.shape[0], h),
-            )
-            for l, lvl_pos in enumerate(g.mesh_pos)
-        ]
-        return grid_v, mesh_v
+    @staticmethod
+    def graph_arrays(g: GraphArtifacts) -> dict:
+        """All static graph data as a flat name→numpy dict, including the
+        padded inverse-index tables that make message passing scatter-free
+        (py4cast_tpu.ops.graph_ops). Cached on the artifact."""
+        if getattr(g, "_arrays_cache", None) is not None:
+            return g._arrays_cache
+        from py4cast_tpu.ops.graph_ops import build_table
 
-    def _edge_emb(self, edge_set: EdgeSet, b: int, name: str):
-        s = self.settings
-        h = s.hidden_dims
-        e = MLP(h, h, s.hidden_layers, name=name)(jnp.asarray(edge_set.feats))
-        return jnp.broadcast_to(e[None], (b,) + e.shape)
+        d = {}
+        for l, p in enumerate(g.mesh_pos):
+            d[f"mesh_pos_{l}"] = p
 
-    def _g2m(self, grid_v, mesh_v0):
-        g, s = self.graph, self.settings
-        b = grid_v.shape[0]
-        e = self._edge_emb(g.g2m, b, "g2m_edge_embed")
-        v, _ = InteractionNetwork(
-            s.hidden_dims, s.hidden_layers, s.mesh_aggr, update_edges=False,
-            name="g2m",
-        )(
-            grid_v, mesh_v0, e,
-            jnp.asarray(g.g2m.src), jnp.asarray(g.g2m.dst), g.level_sizes[0],
-        )
-        return v
+        def add(prefix, src, dst, feats, n_src, n_dst):
+            d[f"{prefix}_src"] = src
+            d[f"{prefix}_dst"] = dst
+            d[f"{prefix}_feats"] = feats
+            d[f"{prefix}_src_table"] = build_table(src, n_src)
+            d[f"{prefix}_dst_table"] = build_table(dst, n_dst)
+            d[f"{prefix}_dst_count"] = np.bincount(
+                dst, minlength=n_dst
+            ).astype(np.float32)
 
-    def _m2g(self, mesh_v0, grid_v):
-        g, s = self.graph, self.settings
-        b = grid_v.shape[0]
-        e = self._edge_emb(g.m2g, b, "m2g_edge_embed")
-        v, _ = InteractionNetwork(
-            s.hidden_dims, s.hidden_layers, s.mesh_aggr, update_edges=False,
-            name="m2g",
-        )(
-            mesh_v0, grid_v, e,
-            jnp.asarray(g.m2g.src), jnp.asarray(g.m2g.dst), g.n_grid,
-        )
-        return v
-
-    def _decode(self, grid_v):
-        s = self.settings
-        return MLP(
-            self.num_output_features, s.hidden_dims, s.hidden_layers,
-            layer_norm=False, name="decoder",
-        )(grid_v)
-
-
-class GraphLAM(_GraphModelBase):
-    """Flat multiscale GNN: all mesh levels merged into one graph
-    (GraphCast/neural-lam 'GraphLAM')."""
-
-    settings: GraphModelSettings = GraphModelSettings()
-    graph: Optional[GraphArtifacts] = None
-    register = True
-
-    @nn.compact
-    def __call__(self, x, deterministic: bool = True):
-        g, s = self.graph, self.settings
-        b = x.shape[0]
-        grid_v, mesh_v = self._embed(x)
-        mesh_flat = jnp.concatenate(mesh_v, axis=1)  # (B, n_mesh, h)
-
-        # flat edge list: intra-level + up + down, offset into flat ids
-        srcs, dsts, feats = [], [], []
-        offs = g.level_offsets
+        n0 = g.level_sizes[0]
+        add("g2m", g.g2m.src, g.g2m.dst, g.g2m.feats, g.n_grid, n0)
+        add("m2g", g.m2g.src, g.m2g.dst, g.m2g.feats, n0, g.n_grid)
         for l, es in enumerate(g.intra):
-            srcs.append(es.src + offs[l])
-            dsts.append(es.dst + offs[l])
-            feats.append(es.feats)
+            n = g.level_sizes[l]
+            add(f"intra_{l}", es.src, es.dst, es.feats, n, n)
         for l, es in enumerate(g.up):
-            srcs.append(es.src + offs[l])
-            dsts.append(es.dst + offs[l + 1])
-            feats.append(es.feats)
+            add(f"up_{l}", es.src, es.dst, es.feats,
+                g.level_sizes[l], g.level_sizes[l + 1])
         for l, es in enumerate(g.down):
-            srcs.append(es.src + offs[l + 1])
-            dsts.append(es.dst + offs[l])
-            feats.append(es.feats)
-        src = jnp.asarray(np.concatenate(srcs).astype(np.int32))
-        dst = jnp.asarray(np.concatenate(dsts).astype(np.int32))
-        efeat = np.concatenate(feats)
-        e = MLP(s.hidden_dims, s.hidden_dims, s.hidden_layers,
-                name="mesh_edge_embed")(jnp.asarray(efeat))
-        e = jnp.broadcast_to(e[None], (b,) + e.shape)
+            add(f"down_{l}", es.src, es.dst, es.feats,
+                g.level_sizes[l + 1], g.level_sizes[l])
 
-        # update level-0 slice with grid info, then process the flat mesh
-        v0 = self._g2m(grid_v, mesh_v[0])
-        mesh_flat = mesh_flat.at[:, : g.level_sizes[0]].set(v0)
-
-        for i in range(s.processor_layers):
-            mesh_flat, e = InteractionNetwork(
-                s.hidden_dims, s.hidden_layers, s.mesh_aggr,
-                name=f"processor_{i}",
-            )(mesh_flat, mesh_flat, e, src, dst, g.n_mesh)
-
-        grid_out = self._m2g(mesh_flat[:, : g.level_sizes[0]], grid_v)
-        return self._decode(grid_out)
-
-
-class HiLAM(_GraphModelBase):
-    """Hierarchical GNN: per processor layer, sweep up the mesh hierarchy,
-    process the top, sweep down (Oskarsson et al. 2023)."""
-
-    settings: GraphModelSettings = GraphModelSettings()
-    graph: Optional[GraphArtifacts] = None
-    register = True
-
-    @nn.compact
-    def __call__(self, x, deterministic: bool = True):
-        g, s = self.graph, self.settings
-        b = x.shape[0]
-        L = len(g.mesh_pos)
-        grid_v, mesh_v = self._embed(x)
-        mesh_v[0] = self._g2m(grid_v, mesh_v[0])
-
-        intra_e = [
-            self._edge_emb(es, b, f"intra_edge_embed_{l}")
-            for l, es in enumerate(g.intra)
-        ]
-        up_e = [self._edge_emb(es, b, f"up_edge_embed_{l}") for l, es in enumerate(g.up)]
-        down_e = [
-            self._edge_emb(es, b, f"down_edge_embed_{l}") for l, es in enumerate(g.down)
-        ]
-
-        for p in range(s.processor_layers):
-            # sweep up: level l → l+1
-            for l in range(L - 1):
-                mesh_v[l + 1], up_e[l] = InteractionNetwork(
-                    s.hidden_dims, s.hidden_layers, s.mesh_aggr,
-                    name=f"p{p}_up_{l}",
-                )(
-                    mesh_v[l], mesh_v[l + 1], up_e[l],
-                    jnp.asarray(g.up[l].src), jnp.asarray(g.up[l].dst),
-                    g.level_sizes[l + 1],
-                )
-                mesh_v[l + 1], intra_e[l + 1] = InteractionNetwork(
-                    s.hidden_dims, s.hidden_layers, s.mesh_aggr,
-                    name=f"p{p}_intra_up_{l + 1}",
-                )(
-                    mesh_v[l + 1], mesh_v[l + 1], intra_e[l + 1],
-                    jnp.asarray(g.intra[l + 1].src), jnp.asarray(g.intra[l + 1].dst),
-                    g.level_sizes[l + 1],
-                )
-            # sweep down: level l+1 → l
-            for l in reversed(range(L - 1)):
-                mesh_v[l], down_e[l] = InteractionNetwork(
-                    s.hidden_dims, s.hidden_layers, s.mesh_aggr,
-                    name=f"p{p}_down_{l}",
-                )(
-                    mesh_v[l + 1], mesh_v[l], down_e[l],
-                    jnp.asarray(g.down[l].src), jnp.asarray(g.down[l].dst),
-                    g.level_sizes[l],
-                )
-                mesh_v[l], intra_e[l] = InteractionNetwork(
-                    s.hidden_dims, s.hidden_layers, s.mesh_aggr,
-                    name=f"p{p}_intra_down_{l}",
-                )(
-                    mesh_v[l], mesh_v[l], intra_e[l],
-                    jnp.asarray(g.intra[l].src), jnp.asarray(g.intra[l].dst),
-                    g.level_sizes[l],
-                )
-
-        grid_out = self._m2g(mesh_v[0], grid_v)
-        return self._decode(grid_out)
-
-
-class HiLAMParallel(_GraphModelBase):
-    """HiLAM variant processing every hierarchy edge set simultaneously
-    per layer (one flat graph over all levels + inter-level edges)."""
-
-    settings: GraphModelSettings = GraphModelSettings()
-    graph: Optional[GraphArtifacts] = None
-    register = True
-
-    @nn.compact
-    def __call__(self, x, deterministic: bool = True):
-        g, s = self.graph, self.settings
-        b = x.shape[0]
-        grid_v, mesh_v = self._embed(x)
-        mesh_v[0] = self._g2m(grid_v, mesh_v[0])
-        mesh_flat = jnp.concatenate(mesh_v, axis=1)
-
+        # flat view over all levels (GraphLAM / HiLAMParallel)
         offs = g.level_offsets
         srcs = [es.src + offs[l] for l, es in enumerate(g.intra)]
         dsts = [es.dst + offs[l] for l, es in enumerate(g.intra)]
@@ -489,17 +419,164 @@ class HiLAMParallel(_GraphModelBase):
             srcs.append(es.src + offs[l + 1])
             dsts.append(es.dst + offs[l])
             feats.append(es.feats)
-        src = jnp.asarray(np.concatenate(srcs).astype(np.int32))
-        dst = jnp.asarray(np.concatenate(dsts).astype(np.int32))
+        add(
+            "flat",
+            np.concatenate(srcs).astype(np.int32),
+            np.concatenate(dsts).astype(np.int32),
+            np.concatenate(feats).astype(np.float32),
+            g.n_mesh,
+            g.n_mesh,
+        )
+        g._arrays_cache = d
+        return d
+
+    def _garr(self, graph_arrays):
+        """Fallback for standalone use: materialize from self.graph."""
+        if graph_arrays is not None:
+            return graph_arrays
+        return {k: jnp.asarray(v) for k, v in self.graph_arrays(self.graph).items()}
+
+    # ---- shared pieces (called inside subclasses' @nn.compact __call__)
+    def _embed(self, x, garr):
+        g = self.graph
+        s = self.settings
+        h = s.hidden_dims
+        b = x.shape[0]
+        grid_v = MLP(h, h, s.hidden_layers, name="grid_embed")(x)
+        mesh_v = [
+            jnp.broadcast_to(
+                MLP(h, h, s.hidden_layers, name=f"mesh_embed_{l}")(
+                    garr[f"mesh_pos_{l}"]
+                )[None],
+                (b, g.level_sizes[l], h),
+            )
+            for l in range(len(g.mesh_pos))
+        ]
+        return grid_v, mesh_v
+
+    def _edge_emb(self, garr, key: str, b: int, name: str):
+        s = self.settings
+        e = MLP(s.hidden_dims, s.hidden_dims, s.hidden_layers, name=name)(
+            garr[key]
+        )
+        return jnp.broadcast_to(e[None], (b,) + e.shape)
+
+    def _g2m(self, garr, grid_v, mesh_v0):
+        s = self.settings
+        b = grid_v.shape[0]
+        e = self._edge_emb(garr, "g2m_feats", b, "g2m_edge_embed")
+        v, _ = InteractionNetwork(
+            s.hidden_dims, s.hidden_layers, s.mesh_aggr, update_edges=False,
+            name="g2m",
+        )(grid_v, mesh_v0, e, _edge_dict(garr, "g2m"))
+        return v
+
+    def _m2g(self, garr, mesh_v0, grid_v):
+        s = self.settings
+        b = grid_v.shape[0]
+        e = self._edge_emb(garr, "m2g_feats", b, "m2g_edge_embed")
+        v, _ = InteractionNetwork(
+            s.hidden_dims, s.hidden_layers, s.mesh_aggr, update_edges=False,
+            name="m2g",
+        )(mesh_v0, grid_v, e, _edge_dict(garr, "m2g"))
+        return v
+
+    def _decode(self, grid_v):
+        s = self.settings
+        return MLP(
+            self.num_output_features, s.hidden_dims, s.hidden_layers,
+            layer_norm=False, name="decoder",
+        )(grid_v)
+
+    def _flat_process(self, garr, grid_v, mesh_v):
+        """g2m → scanned flat-mesh processor → m2g (GraphLAM core)."""
+        g, s = self.graph, self.settings
+        b = grid_v.shape[0]
+        v0 = self._g2m(garr, grid_v, mesh_v[0])
+        mesh_flat = jnp.concatenate([v0] + mesh_v[1:], axis=1)
         e = MLP(s.hidden_dims, s.hidden_dims, s.hidden_layers,
-                name="mesh_edge_embed")(jnp.asarray(np.concatenate(feats)))
+                name="mesh_edge_embed")(garr["flat_feats"])
         e = jnp.broadcast_to(e[None], (b,) + e.shape)
-
-        for i in range(s.processor_layers):
-            mesh_flat, e = InteractionNetwork(
-                s.hidden_dims, s.hidden_layers, s.mesh_aggr,
-                name=f"processor_{i}",
-            )(mesh_flat, mesh_flat, e, src, dst, g.n_mesh)
-
-        grid_out = self._m2g(mesh_flat[:, : g.level_sizes[0]], grid_v)
+        proc = _scan_layers(
+            _FlatProcessorStep, s.processor_layers, "processor",
+            hidden_dim=s.hidden_dims, hidden_layers=s.hidden_layers,
+            aggr=s.mesh_aggr,
+        )
+        (mesh_flat, e, _), _ = proc(
+            (mesh_flat, e, _edge_dict(garr, "flat")), None
+        )
+        grid_out = self._m2g(garr, mesh_flat[:, : g.level_sizes[0]], grid_v)
         return self._decode(grid_out)
+
+
+class GraphLAM(_GraphModelBase):
+    """Flat multiscale GNN: all mesh levels merged into one graph
+    (GraphCast/neural-lam 'GraphLAM')."""
+
+    settings: GraphModelSettings = GraphModelSettings()
+    graph: Optional[GraphArtifacts] = None
+    register = True
+
+    @nn.compact
+    def __call__(self, x, graph_arrays=None, deterministic: bool = True):
+        garr = self._garr(graph_arrays)
+        grid_v, mesh_v = self._embed(x, garr)
+        return self._flat_process(garr, grid_v, mesh_v)
+
+
+class HiLAM(_GraphModelBase):
+    """Hierarchical GNN: per processor layer, sweep up the mesh hierarchy,
+    process intra-level at each stop, sweep down (Oskarsson et al. 2023).
+    Processor layers are scanned (stacked params, one compiled body)."""
+
+    settings: GraphModelSettings = GraphModelSettings()
+    graph: Optional[GraphArtifacts] = None
+    register = True
+
+    @nn.compact
+    def __call__(self, x, graph_arrays=None, deterministic: bool = True):
+        garr = self._garr(graph_arrays)
+        g, s = self.graph, self.settings
+        b = x.shape[0]
+        grid_v, mesh_v = self._embed(x, garr)
+        mesh_v[0] = self._g2m(garr, grid_v, mesh_v[0])
+
+        L = len(g.mesh_pos)
+        intra_e = tuple(
+            self._edge_emb(garr, f"intra_{l}_feats", b, f"intra_edge_embed_{l}")
+            for l in range(L)
+        )
+        up_e = tuple(
+            self._edge_emb(garr, f"up_{l}_feats", b, f"up_edge_embed_{l}")
+            for l in range(L - 1)
+        )
+        down_e = tuple(
+            self._edge_emb(garr, f"down_{l}_feats", b, f"down_edge_embed_{l}")
+            for l in range(L - 1)
+        )
+
+        proc = _scan_layers(
+            _HiLAMSweepStep, s.processor_layers, "processor",
+            hidden_dim=s.hidden_dims, hidden_layers=s.hidden_layers,
+            aggr=s.mesh_aggr, level_sizes=tuple(g.level_sizes),
+        )
+        (mesh_v_t, _, _, _, _), _ = proc(
+            (tuple(mesh_v), intra_e, up_e, down_e, garr), None
+        )
+        grid_out = self._m2g(garr, mesh_v_t[0], grid_v)
+        return self._decode(grid_out)
+
+
+class HiLAMParallel(_GraphModelBase):
+    """HiLAM variant processing every hierarchy edge set simultaneously
+    per layer: one flat graph over all levels + inter-level edges."""
+
+    settings: GraphModelSettings = GraphModelSettings()
+    graph: Optional[GraphArtifacts] = None
+    register = True
+
+    @nn.compact
+    def __call__(self, x, graph_arrays=None, deterministic: bool = True):
+        garr = self._garr(graph_arrays)
+        grid_v, mesh_v = self._embed(x, garr)
+        return self._flat_process(garr, grid_v, mesh_v)

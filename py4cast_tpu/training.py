@@ -195,11 +195,56 @@ class AutoRegressiveModule:
         self.loss.prepare(self.interior_mask_np, dataset_info, out_names)
 
         self._jit_cache: Dict[Any, Callable] = {}
+        self._graph_buffers: dict = {}
 
     # ------------------------------------------------------------------ setup
     def init_params(self, rng: jax.Array):
+        """Initialize trainable params.
+
+        GRAPH models are initialized against a TINY surrogate graph:
+        param shapes depend only on feature dims, so this avoids
+        compiling the full-size forward (minutes for million-edge
+        graphs) just to draw initial weights. The real graph arrays are
+        staged on device once and threaded through the jitted steps as
+        arguments — never baked into HLO as literal constants."""
+        if self.is_graph:
+            kls = type(self.model)
+            tiny_mesh = np.stack(
+                np.meshgrid(np.linspace(0, 1, 16), np.linspace(0, 1, 16),
+                            indexing="ij")
+            )
+            tiny_graph = kls.build_graph(self.model_settings, tiny_mesh)
+            tiny_model = kls(
+                num_input_features=self.num_input_features,
+                num_output_features=self.num_output_features,
+                input_shape=(256,),
+                settings=self.model_settings,
+                graph=tiny_graph,
+            )
+            x = jnp.zeros((1, 256, self.num_input_features), jnp.float32)
+            # init on CPU when available: drawing initial weights doesn't
+            # need the accelerator, and XLA-CPU compiles the throwaway
+            # init program much faster than a TPU round-trip
+            try:
+                cpu = jax.devices("cpu")[0]
+            except RuntimeError:
+                cpu = None
+            if cpu is not None:
+                with jax.default_device(cpu):
+                    variables = tiny_model.init(rng, x)
+            else:
+                variables = tiny_model.init(rng, x)
+            self._graph_buffers = jax.device_put(
+                {
+                    k: jnp.asarray(v)
+                    for k, v in kls.graph_arrays(self.model.graph).items()
+                },
+                replicated(self.mesh),
+            )
+            return variables
         spatial = self.model.input_shape
         x = jnp.zeros((1,) + spatial + (self.num_input_features,), jnp.float32)
+        self._graph_buffers = {}
         return self.model.init(rng, x)
 
     def make_optimizer(self, num_training_steps: int) -> optax.GradientTransformation:
@@ -231,7 +276,7 @@ class AutoRegressiveModule:
         return sum(int(p.size) for p in jax.tree.leaves(state.params))
 
     # ----------------------------------------------------------------- pieces
-    def _model_apply(self, params):
+    def _model_apply(self, params, graph=None):
         """Features-last model application with bf16 activation policy.
 
         Honors the model's ``use_checkpointing`` setting with jax
@@ -242,7 +287,10 @@ class AutoRegressiveModule:
         def apply(x):
             if self.compute_dtype != jnp.float32:
                 x = x.astype(self.compute_dtype)
-            y = self.model.apply(params, x)
+            if graph:
+                y = self.model.apply(params, x, graph_arrays=graph)
+            else:
+                y = self.model.apply(params, x)
             return y.astype(jnp.float32)
 
         if getattr(self.model_settings, "use_checkpointing", False) or getattr(
@@ -258,9 +306,10 @@ class AutoRegressiveModule:
         b, t = arr.shape[:2]
         return arr.reshape(b, t, -1, arr.shape[-1])
 
-    def _rollout(self, params, inputs, forcing, outputs, num_pred_steps, rng):
+    def _rollout(self, params, inputs, forcing, outputs, num_pred_steps, rng,
+                 graph=None):
         return rollout(
-            self._model_apply(params),
+            self._model_apply(params, graph),
             inputs,
             forcing,
             outputs,
@@ -288,8 +337,11 @@ class AutoRegressiveModule:
             self.output_feature_names,
         )
 
-    def _batch_loss(self, params, inputs, forcing, outputs, num_pred_steps, rng):
-        preds = self._rollout(params, inputs, forcing, outputs, num_pred_steps, rng)
+    def _batch_loss(self, params, inputs, forcing, outputs, num_pred_steps, rng,
+                    graph=None):
+        preds = self._rollout(
+            params, inputs, forcing, outputs, num_pred_steps, rng, graph
+        )
         mask, target = self._mask_and_target(outputs)
         per_step = self.loss(self._named(preds), self._named(target), mask)
         return jnp.mean(per_step), (preds, per_step)
@@ -302,19 +354,21 @@ class AutoRegressiveModule:
 
         if kind == "train":
 
-            def step(state: TrainState, inputs, forcing, outputs, rng):
+            def step(state: TrainState, inputs, forcing, outputs, rng, graph):
                 grad_fn = jax.value_and_grad(self._batch_loss, has_aux=True)
                 (loss, _), grads = grad_fn(
-                    state.params, inputs, forcing, outputs, num_pred_steps, rng
+                    state.params, inputs, forcing, outputs, num_pred_steps, rng,
+                    graph,
                 )
                 return state.apply_gradients(grads=grads), loss
 
             fn = jax.jit(step, donate_argnums=(0,))
         elif kind == "eval":
 
-            def step(state: TrainState, inputs, forcing, outputs, rng):
+            def step(state: TrainState, inputs, forcing, outputs, rng, graph):
                 loss, (preds, per_step) = self._batch_loss(
-                    state.params, inputs, forcing, outputs, num_pred_steps, rng
+                    state.params, inputs, forcing, outputs, num_pred_steps, rng,
+                    graph,
                 )
                 # (T,) per-timestep loss averaged over batch
                 return preds, jnp.mean(per_step, axis=0), loss
@@ -322,9 +376,10 @@ class AutoRegressiveModule:
             fn = jax.jit(step)
         elif kind == "predict":
 
-            def step(state: TrainState, inputs, forcing, rng):
+            def step(state: TrainState, inputs, forcing, rng, graph):
                 preds = self._rollout(
-                    state.params, inputs, forcing, None, num_pred_steps, rng
+                    state.params, inputs, forcing, None, num_pred_steps, rng,
+                    graph,
                 )
                 # de-normalize (reference: lightning.py:1164-1169)
                 return preds * self.stats_std + self.stats_mean
@@ -371,18 +426,18 @@ class AutoRegressiveModule:
     def train_step(self, state, batch: ItemBatch, rng):
         inputs, forcing, outputs = self._batch_arrays(batch)
         fn = self._get_jitted("train", batch.num_pred_steps)
-        return fn(state, inputs, forcing, outputs, rng)
+        return fn(state, inputs, forcing, outputs, rng, self._graph_buffers)
 
     def eval_step(self, state, batch: ItemBatch, rng):
         inputs, forcing, outputs = self._batch_arrays(batch)
         fn = self._get_jitted("eval", batch.num_pred_steps)
-        return fn(state, inputs, forcing, outputs, rng)
+        return fn(state, inputs, forcing, outputs, rng, self._graph_buffers)
 
     def predict_step(self, state, batch: ItemBatch, rng):
         self.check_feature_contract(batch)
         inputs, forcing, _ = self._batch_arrays(batch, with_outputs=False)
         fn = self._get_jitted("predict", batch.num_pred_steps)
-        preds = fn(state, inputs, forcing, rng)
+        preds = fn(state, inputs, forcing, rng, self._graph_buffers)
         return self._named(preds)
 
     def check_feature_contract(self, batch: ItemBatch):

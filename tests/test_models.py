@@ -57,6 +57,12 @@ def _build(name):
     return model, input_shape
 
 
+def _split_vars(variables):
+    """Separate trainable params from static collections (e.g. 'graph')."""
+    aux = {k: v for k, v in variables.items() if k != "params"}
+    return {"params": variables["params"]}, aux
+
+
 @pytest.mark.parametrize("name", sorted(registry))
 def test_forward_shape(name):
     model, input_shape = _build(name)
@@ -77,12 +83,12 @@ def test_gradient_step_reduces_loss(name):
     target = jnp.broadcast_to(
         jnp.mean(x, axis=-1, keepdims=True), x.shape[:-1] + (F_OUT,)
     )
-    params = model.init(jax.random.key(0), x)
+    params, aux = _split_vars(model.init(jax.random.key(0), x))
     tx = optax.adam(3e-4)
     opt_state = tx.init(params)
 
     def loss_fn(p):
-        return jnp.mean((model.apply(p, x) - target) ** 2)
+        return jnp.mean((model.apply({**p, **aux}, x) - target) ** 2)
 
     grad_fn = jax.jit(jax.value_and_grad(loss_fn))
     l0 = None
