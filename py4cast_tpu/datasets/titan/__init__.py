@@ -159,6 +159,17 @@ class TitanAccessor(DataAccessor):
         member: int = 0,
         file_format: str = "npy",
     ) -> np.ndarray:
+        if file_format == "npy":
+            # batch all validity times through the native parallel reader
+            from py4cast_tpu.native import read_npy_float32_batch
+
+            paths = [
+                cls._date_filepath(dataset_name, param, date, "npy")
+                for date in timestamps.validity_times
+            ]
+            probe = np.load(paths[0], mmap_mode="r")
+            batch = read_npy_float32_batch(paths, probe.shape)
+            return batch[..., None]
         arrs = [
             cls.load_data_for_date(dataset_name, param, date, file_format)[..., None]
             for date in timestamps.validity_times

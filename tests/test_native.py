@@ -1,0 +1,56 @@
+"""Native I/O core: build, parallel-read equivalence with numpy, and
+graceful fallback on malformed files."""
+
+import numpy as np
+import pytest
+
+from py4cast_tpu.native import native_available, read_npy_float32_batch
+
+
+@pytest.fixture(scope="module")
+def npy_files(tmp_path_factory):
+    d = tmp_path_factory.mktemp("npys")
+    rng = np.random.default_rng(0)
+    arrays = [rng.standard_normal((12, 17)).astype(np.float32) for _ in range(32)]
+    paths = []
+    for i, a in enumerate(arrays):
+        p = d / f"f{i}.npy"
+        np.save(p, a)
+        paths.append(p)
+    return paths, arrays
+
+
+def test_native_builds():
+    assert native_available(), "C++ I/O core failed to build/load"
+
+
+def test_batch_read_matches_numpy(npy_files):
+    paths, arrays = npy_files
+    out = read_npy_float32_batch(paths, (12, 17))
+    np.testing.assert_array_equal(out, np.stack(arrays))
+
+
+def test_fallback_on_non_float32(tmp_path):
+    # a float64 file is rejected by the native reader and must fall back
+    p = tmp_path / "f64.npy"
+    arr = np.arange(6, dtype=np.float64).reshape(2, 3)
+    np.save(p, arr)
+    with pytest.warns(UserWarning, match="falling back"):
+        out = read_npy_float32_batch([p], (2, 3))
+    np.testing.assert_array_equal(out[0], arr.astype(np.float32))
+
+
+def test_native_is_at_least_as_fast(npy_files):
+    """Smoke perf check on many small files (not a strict benchmark)."""
+    import time
+
+    paths, _ = npy_files
+    paths = paths * 8  # 256 reads
+    t0 = time.perf_counter()
+    read_npy_float32_batch(paths, (12, 17))
+    t_native = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    np.stack([np.load(p) for p in paths])
+    t_numpy = time.perf_counter() - t0
+    # allow generous slack — this guards against pathological regressions only
+    assert t_native < t_numpy * 3
