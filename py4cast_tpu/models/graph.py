@@ -252,7 +252,7 @@ class InteractionNetwork(nn.Module):
     update_edges: bool = True
 
     @nn.compact
-    def __call__(self, v_src, v_dst, e, edges: dict):
+    def __call__(self, v_src, v_dst, e, edges: dict, regular_k=None):
         from py4cast_tpu.ops.graph_ops import edge_aggregate, gather_nodes
 
         # v_src: (B, Ns, h), v_dst: (B, Nd, h), e: (B, E, h)
@@ -261,7 +261,14 @@ class InteractionNetwork(nn.Module):
         e_new = MLP(self.hidden_dim, self.hidden_dim, self.hidden_layers)(
             jnp.concatenate([e, vs, vd], axis=-1)
         )
-        agg = edge_aggregate(e_new, edges["dst_table"], edges["dst"])
+        if regular_k:
+            # regular edge sets (e.g. m2g: exactly K contiguous edges per
+            # destination) aggregate with a reshape — no gather at all,
+            # and the backward pass is a broadcast
+            b, E, h = e_new.shape
+            agg = e_new.reshape(b, E // regular_k, regular_k, h).sum(axis=2)
+        else:
+            agg = edge_aggregate(e_new, edges["dst_table"], edges["dst"])
         if self.aggr == "mean":
             agg = agg / jnp.maximum(edges["dst_count"], 1.0)[None, :, None]
         v_new = MLP(self.hidden_dim, self.hidden_dim, self.hidden_layers)(
@@ -305,6 +312,7 @@ class _HiLAMSweepStep(nn.Module):
     hidden_layers: int
     aggr: str
     level_sizes: Tuple[int, ...]
+    down_ks: Tuple = ()  # static regular-K per down edge set (or None)
 
     @nn.compact
     def __call__(self, carry, _):
@@ -329,7 +337,8 @@ class _HiLAMSweepStep(nn.Module):
             )
         for l in reversed(range(L - 1)):  # sweep down
             mesh_v[l], down_e[l] = inet(f"down_{l}")(
-                mesh_v[l + 1], mesh_v[l], down_e[l], _edge_dict(garr, f"down_{l}")
+                mesh_v[l + 1], mesh_v[l], down_e[l], _edge_dict(garr, f"down_{l}"),
+                regular_k=self.down_ks[l] if l < len(self.down_ks) else None,
             )
             mesh_v[l], intra_e[l] = inet(f"intra_down_{l}")(
                 mesh_v[l], mesh_v[l], intra_e[l], _edge_dict(garr, f"intra_{l}")
@@ -383,15 +392,27 @@ class _GraphModelBase(ModelBase):
         for l, p in enumerate(g.mesh_pos):
             d[f"mesh_pos_{l}"] = p
 
+        regular: dict = {}
+
         def add(prefix, src, dst, feats, n_src, n_dst):
             d[f"{prefix}_src"] = src
             d[f"{prefix}_dst"] = dst
             d[f"{prefix}_feats"] = feats
             d[f"{prefix}_src_table"] = build_table(src, n_src)
-            d[f"{prefix}_dst_table"] = build_table(dst, n_dst)
-            d[f"{prefix}_dst_count"] = np.bincount(
-                dst, minlength=n_dst
-            ).astype(np.float32)
+            dst_table = build_table(dst, n_dst)
+            d[f"{prefix}_dst_table"] = dst_table
+            counts = np.bincount(dst, minlength=n_dst)
+            d[f"{prefix}_dst_count"] = counts.astype(np.float32)
+            # regular = exactly K contiguous edges per destination, in order
+            k = int(counts[0]) if len(counts) else 0
+            if (
+                k > 0
+                and (counts == k).all()
+                and np.array_equal(
+                    dst_table, np.arange(n_dst * k).reshape(n_dst, k)
+                )
+            ):
+                regular[prefix] = k
 
         n0 = g.level_sizes[0]
         add("g2m", g.g2m.src, g.g2m.dst, g.g2m.feats, g.n_grid, n0)
@@ -427,8 +448,14 @@ class _GraphModelBase(ModelBase):
             g.n_mesh,
             g.n_mesh,
         )
+        g._regular_k = regular
         g._arrays_cache = d
         return d
+
+    def _reg_k(self, prefix: str):
+        """Static regular-degree K for an edge set, or None."""
+        self.graph_arrays(self.graph)  # ensure computed (cached)
+        return getattr(self.graph, "_regular_k", {}).get(prefix)
 
     def _garr(self, graph_arrays):
         """Fallback for standalone use: materialize from self.graph."""
@@ -478,7 +505,7 @@ class _GraphModelBase(ModelBase):
         v, _ = InteractionNetwork(
             s.hidden_dims, s.hidden_layers, s.mesh_aggr, update_edges=False,
             name="m2g",
-        )(mesh_v0, grid_v, e, _edge_dict(garr, "m2g"))
+        )(mesh_v0, grid_v, e, _edge_dict(garr, "m2g"), regular_k=self._reg_k("m2g"))
         return v
 
     def _decode(self, grid_v):
@@ -559,6 +586,7 @@ class HiLAM(_GraphModelBase):
             _HiLAMSweepStep, s.processor_layers, "processor",
             hidden_dim=s.hidden_dims, hidden_layers=s.hidden_layers,
             aggr=s.mesh_aggr, level_sizes=tuple(g.level_sizes),
+            down_ks=tuple(self._reg_k(f"down_{l}") for l in range(L - 1)),
         )
         (mesh_v_t, _, _, _, _), _ = proc(
             (tuple(mesh_v), intra_e, up_e, down_e, garr), None

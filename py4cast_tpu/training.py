@@ -284,13 +284,27 @@ class AutoRegressiveModule:
         activation checkpointing / CPU offload flags
         (config/CLI/model/graphlam.yaml:20-21)."""
 
+        def cast_floats(tree):
+            return jax.tree.map(
+                lambda p: p.astype(self.compute_dtype)
+                if jnp.issubdtype(p.dtype, jnp.floating)
+                else p,
+                tree,
+            )
+
         def apply(x):
+            p = params
             if self.compute_dtype != jnp.float32:
+                # true mixed precision: bf16 params INSIDE apply (master
+                # copies stay fp32 in the optimizer) — otherwise flax's
+                # dtype promotion silently upcasts activations back to
+                # fp32 at the first Dense/Conv
                 x = x.astype(self.compute_dtype)
+                p = cast_floats(p)
             if graph:
-                y = self.model.apply(params, x, graph_arrays=graph)
+                y = self.model.apply(p, x, graph_arrays=graph)
             else:
-                y = self.model.apply(params, x)
+                y = self.model.apply(p, x)
             return y.astype(jnp.float32)
 
         if getattr(self.model_settings, "use_checkpointing", False) or getattr(
