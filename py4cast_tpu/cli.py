@@ -189,7 +189,22 @@ def main(argv: Optional[List[str]] = None) -> int:
         if not ckpt_path:
             raise SystemExit("predict requires --trainer.ckpt_path")
         state = _restore_state(module, trainer, ckpt_path)
-        preds = trainer.predict(module, dm.infer_ds, state)
+        infer_ds = dm.infer_ds
+        if dm.cfg.list_run_hour:
+            # keep only samples whose run hour is requested
+            # (reference: lightning.py:1146-1152)
+            hours = set(int(h) for h in dm.cfg.list_run_hour)
+            filtered = [
+                s
+                for s in infer_ds.sample_list
+                if s.timestamps.datetime.hour in hours
+            ]
+            if not filtered:
+                raise SystemExit(
+                    f"No samples with run hour in {sorted(hours)}"
+                )
+            infer_ds.__dict__["sample_list"] = filtered
+        preds = trainer.predict(module, infer_ds, state)
         out_dir = Path(trainer.config.save_path) / "predictions"
         out_dir.mkdir(parents=True, exist_ok=True)
         import numpy as np
@@ -203,7 +218,7 @@ def main(argv: Optional[List[str]] = None) -> int:
 
             save_predictions(
                 preds,
-                dm.infer_ds,
+                infer_ds,
                 out_dir,
                 save_gifs=dm.cfg.save_gifs,
                 save_gribs=dm.cfg.save_gribs,
