@@ -55,7 +55,11 @@ class EfficientSelfAttention(nn.Module):
         v = nn.Dense(self.dim, use_bias=False)(kv_in).reshape(
             b, kh * kw, self.heads, -1
         )
-        out = nn.dot_product_attention(q, k, v)
+        # long-Q/short-KV attention: Pallas kernel on TPU (K/V resident in
+        # VMEM, logits never hit HBM); XLA attention elsewhere
+        from py4cast_tpu.ops.attention import dot_product_attention_short_kv
+
+        out = dot_product_attention_short_kv(q, k, v)
         out = out.reshape(b, h, w, self.dim)
         return nn.Dense(self.dim)(out)
 

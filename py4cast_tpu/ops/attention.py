@@ -1,0 +1,189 @@
+"""Pallas TPU attention kernel for long-query / short-KV attention.
+
+The ViT models here (Segformer efficient attention, UNETR++ EPA spatial
+branch) attend MANY query tokens (H·W after patching — up to ~20k on the
+Titan grid) against FEW key/value tokens (spatially-reduced K/V,
+reduction_ratio / proj_size). XLA's dot-product attention materializes
+the (Lq, Lk) logits in HBM (hundreds of MB at stage 1); this kernel
+tiles over Q blocks with the whole K/V resident in VMEM, so logits only
+ever exist as one (BQ, Lk) block — exact softmax, no online rescaling
+needed.
+
+Backward is a second Pallas kernel: dQ is written per Q block; dK/dV are
+accumulated across the sequential TPU grid into a constant-indexed
+output block (initialized at the first Q block of each head).
+Wired via jax.custom_vjp; used by Segformer when Lk fits VMEM.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+#: K/V token budget that comfortably fits VMEM alongside blocks
+MAX_KV_VMEM_TOKENS = 4096
+DEFAULT_BLOCK_Q = 512
+
+
+def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float):
+    q = q_ref[0].astype(jnp.float32)  # (BQ, D)
+    k = k_ref[0].astype(jnp.float32)  # (Lk, D)
+    v = v_ref[0].astype(jnp.float32)
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    ) * scale  # (BQ, Lk)
+    m = jnp.max(s, axis=-1, keepdims=True)
+    p = jnp.exp(s - m)
+    denom = jnp.sum(p, axis=-1, keepdims=True)
+    o = jnp.dot(p / denom, v, preferred_element_type=jnp.float32)
+    o_ref[0] = o.astype(o_ref.dtype)
+
+
+def _bwd_kernel(q_ref, k_ref, v_ref, do_ref, dq_ref, dk_ref, dv_ref,
+                *, scale: float):
+    qi = pl.program_id(1)
+    q = q_ref[0].astype(jnp.float32)
+    k = k_ref[0].astype(jnp.float32)
+    v = v_ref[0].astype(jnp.float32)
+    do = do_ref[0].astype(jnp.float32)
+
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    ) * scale
+    m = jnp.max(s, axis=-1, keepdims=True)
+    p = jnp.exp(s - m)
+    p = p / jnp.sum(p, axis=-1, keepdims=True)  # (BQ, Lk)
+
+    dp = jax.lax.dot_general(
+        do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )  # (BQ, Lk)
+    ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))  # (BQ, Lk)
+    dq_ref[0] = (scale * jnp.dot(ds, k, preferred_element_type=jnp.float32)
+                 ).astype(dq_ref.dtype)
+
+    dk_blk = scale * jax.lax.dot_general(
+        ds, q, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )  # (Lk, D)
+    dv_blk = jax.lax.dot_general(
+        p, do, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )  # (Lk, D)
+
+    # accumulate over the sequential q-block grid; re-init per head (qi==0)
+    @pl.when(qi == 0)
+    def _():
+        dk_ref[0] = jnp.zeros_like(dk_ref[0])
+        dv_ref[0] = jnp.zeros_like(dv_ref[0])
+
+    dk_ref[0] += dk_blk.astype(dk_ref.dtype)
+    dv_ref[0] += dv_blk.astype(dv_ref.dtype)
+
+
+def _pad_q(q, block_q):
+    lq = q.shape[1]
+    pad = (-lq) % block_q
+    if pad:
+        q = jnp.pad(q, ((0, 0), (0, pad), (0, 0)))
+    return q, lq
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
+def short_kv_attention(q, k, v, scale: float, block_q: int = DEFAULT_BLOCK_Q,
+                       interpret: bool = False):
+    """softmax(q·kᵀ·scale)·v for (BH, Lq, D) q and (BH, Lk, D) k/v."""
+    return _forward(q, k, v, scale, block_q, interpret)
+
+
+def _forward(q, k, v, scale, block_q, interpret):
+    bh, lk, d = k.shape
+    qp, lq = _pad_q(q, block_q)
+    n_q = qp.shape[1] // block_q
+    out = pl.pallas_call(
+        functools.partial(_fwd_kernel, scale=scale),
+        out_shape=jax.ShapeDtypeStruct(qp.shape, q.dtype),
+        grid=(bh, n_q),
+        in_specs=[
+            pl.BlockSpec((1, block_q, d), lambda b, i: (b, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, lk, d), lambda b, i: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, lk, d), lambda b, i: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, block_q, d), lambda b, i: (b, i, 0),
+                               memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )(qp, k, v)
+    return out[:, :lq]
+
+
+def _fwd_rule(q, k, v, scale, block_q, interpret):
+    return _forward(q, k, v, scale, block_q, interpret), (q, k, v)
+
+
+def _bwd_rule(scale, block_q, interpret, res, g):
+    q, k, v = res
+    bh, lk, d = k.shape
+    qp, lq = _pad_q(q, block_q)
+    gp, _ = _pad_q(g, block_q)
+    n_q = qp.shape[1] // block_q
+    dq, dk, dv = pl.pallas_call(
+        functools.partial(_bwd_kernel, scale=scale),
+        out_shape=(
+            jax.ShapeDtypeStruct(qp.shape, q.dtype),
+            jax.ShapeDtypeStruct(k.shape, k.dtype),
+            jax.ShapeDtypeStruct(v.shape, v.dtype),
+        ),
+        grid=(bh, n_q),
+        in_specs=[
+            pl.BlockSpec((1, block_q, d), lambda b, i: (b, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, lk, d), lambda b, i: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, lk, d), lambda b, i: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_q, d), lambda b, i: (b, i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, block_q, d), lambda b, i: (b, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, lk, d), lambda b, i: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, lk, d), lambda b, i: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        interpret=interpret,
+    )(qp, k, v, gp)
+    return dq[:, :lq], dk, dv
+
+
+short_kv_attention.defvjp(_fwd_rule, _bwd_rule)
+
+
+def use_pallas_attention(lk: int) -> bool:
+    """Pallas path: TPU backend and K/V small enough to sit in VMEM."""
+    return jax.default_backend() == "tpu" and lk <= MAX_KV_VMEM_TOKENS
+
+
+def dot_product_attention_short_kv(
+    q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray, interpret: bool = False
+) -> jnp.ndarray:
+    """Drop-in for nn.dot_product_attention with (B, L, H, D) layout,
+    dispatching to the Pallas kernel when profitable."""
+    b, lq, h, d = q.shape
+    lk = k.shape[1]
+    scale = 1.0 / (d**0.5)
+    if not (use_pallas_attention(lk) or interpret):
+        import flax.linen as nn
+
+        return nn.dot_product_attention(q, k, v)
+    qf = q.transpose(0, 2, 1, 3).reshape(b * h, lq, d)
+    kf = k.transpose(0, 2, 1, 3).reshape(b * h, lk, d)
+    vf = v.transpose(0, 2, 1, 3).reshape(b * h, lk, d)
+    of = short_kv_attention(qf, kf, vf, scale, DEFAULT_BLOCK_Q, interpret)
+    return of.reshape(b, h, lq, d).transpose(0, 2, 1, 3)
