@@ -17,6 +17,7 @@ from dataclasses import dataclass
 from typing import Tuple
 
 import flax.linen as nn
+import numpy as np
 import jax.numpy as jnp
 
 from py4cast_tpu.models.base import ModelBase, ModelType, crop_to, pad_to_multiple
@@ -82,11 +83,27 @@ class EPA(nn.Module):
         )
         k_p = jnp.einsum("bhnd,np->bhpd", k, proj_k)
         v_p = jnp.einsum("bhnd,np->bhpd", v_sp, proj_v)
-        attn_sp = jnp.einsum(
-            "bhnd,bhpd->bhnp", q, k_p, preferred_element_type=jnp.float32
-        ) / jnp.sqrt(hd).astype(q.dtype)
-        attn_sp = nn.softmax(attn_sp, axis=-1)
-        out_sp = jnp.einsum("bhnp,bhpd->bhnd", attn_sp, v_p)
+        from py4cast_tpu.ops.attention import (
+            short_kv_attention,
+            use_pallas_attention,
+        )
+
+        if use_pallas_attention(p):
+            # N queries × p projected K/V tokens: the Pallas short-KV
+            # kernel keeps K/V in VMEM and never materializes (N, p)
+            # logits in HBM
+            out_sp = short_kv_attention(
+                q.reshape(b * self.heads, n, hd),
+                k_p.reshape(b * self.heads, p, hd),
+                v_p.reshape(b * self.heads, p, hd),
+                float(1.0 / np.sqrt(hd)),
+            ).reshape(b, self.heads, n, hd)
+        else:
+            attn_sp = jnp.einsum(
+                "bhnd,bhpd->bhnp", q, k_p, preferred_element_type=jnp.float32
+            ) / jnp.sqrt(hd).astype(q.dtype)
+            attn_sp = nn.softmax(attn_sp, axis=-1)
+            out_sp = jnp.einsum("bhnp,bhpd->bhnd", attn_sp, v_p)
 
         def merge(a):
             return a.transpose(0, 2, 1, 3).reshape(b, n, self.dim)
