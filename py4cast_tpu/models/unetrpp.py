@@ -88,7 +88,7 @@ class EPA(nn.Module):
             use_pallas_attention,
         )
 
-        if use_pallas_attention(p):
+        if use_pallas_attention(p, hd):
             # N queries × p projected K/V tokens: the Pallas short-KV
             # kernel keeps K/V in VMEM and never materializes (N, p)
             # logits in HBM
