@@ -275,6 +275,22 @@ class AutoRegressiveModule:
     def num_params(self, state: TrainState) -> int:
         return sum(int(p.size) for p in jax.tree.leaves(state.params))
 
+    def summarize(self, state: TrainState) -> str:
+        """Per-submodule parameter table (the torchinfo.summary analog
+        printed at fit start, reference: lightning.py:406)."""
+        groups: Dict[str, int] = {}
+        flat = jax.tree_util.tree_flatten_with_path(state.params)[0]
+        for path, leaf in flat:
+            keys = [getattr(k, "key", str(k)) for k in path]
+            top = keys[1] if len(keys) > 1 else keys[0]
+            groups[top] = groups.get(top, 0) + int(leaf.size)
+        width = max((len(k) for k in groups), default=10) + 2
+        lines = [f"{'module':<{width}}params"]
+        for k, v in sorted(groups.items(), key=lambda kv: -kv[1]):
+            lines.append(f"{k:<{width}}{v:,}")
+        lines.append(f"{'TOTAL':<{width}}{self.num_params(state):,}")
+        return "\n".join(lines)
+
     # ----------------------------------------------------------------- pieces
     def _model_apply(self, params, graph=None):
         """Features-last model application with bf16 activation policy.
@@ -620,6 +636,7 @@ class Trainer:
             f"{module.settings.training_strategy} | devices: "
             f"{module.mesh.devices.size}"
         )
+        print(module.summarize(state))
         self._dump_run_info(module)
         profile_dir = None
         if cfg.profiler == "jax":
