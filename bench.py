@@ -67,17 +67,45 @@ def main():
     step_fn = module._get_jitted("train", batch.num_pred_steps)
 
     graph = module._graph_buffers
-    # warmup (compile)
-    for _ in range(3):
-        state, loss = step_fn(state, inputs, forcing, outputs, rng, graph)
-    loss.block_until_ready()
-
     n_steps = int(os.environ.get("BENCH_STEPS", "20"))
-    t0 = time.perf_counter()
-    for _ in range(n_steps):
-        state, loss = step_fn(state, inputs, forcing, outputs, rng, graph)
-    loss.block_until_ready()
-    dt = time.perf_counter() - t0
+
+    if os.environ.get("BENCH_MODE", "scan") == "scan":
+        # run all steps inside ONE jitted lax.scan: a single dispatch, so
+        # host↔device dispatch latency (large through remote TPU tunnels)
+        # does not pollute the device-rate measurement
+        import jax.numpy as jnp
+
+        def scan_steps(state, n):
+            grad_fn = jax.value_and_grad(module._batch_loss, has_aux=True)
+
+            def body(carry, _):
+                (loss, _), grads = grad_fn(
+                    carry.params, inputs, forcing, outputs,
+                    batch.num_pred_steps, rng, graph,
+                )
+                return carry.apply_gradients(grads=grads), loss
+
+            return jax.lax.scan(body, state, None, length=n)
+
+        run = jax.jit(scan_steps, static_argnums=(1,))
+        state, losses = run(state, n_steps)  # warmup compiles THIS length
+        float(jnp.sum(losses))
+        t0 = time.perf_counter()
+        state, losses = run(state, n_steps)
+        total = float(jnp.sum(losses))  # value transfer forces execution
+        dt = time.perf_counter() - t0
+        assert total == total
+    else:
+        # dispatch-per-step loop (includes host dispatch latency)
+        for _ in range(3):
+            state, loss = step_fn(state, inputs, forcing, outputs, rng, graph)
+        float(loss)
+        t0 = time.perf_counter()
+        for _ in range(n_steps):
+            state, loss = step_fn(state, inputs, forcing, outputs, rng, graph)
+        float(loss)  # value transfer forces completion (block_until_ready
+        # is unreliable through remote TPU tunnels)
+        dt = time.perf_counter() - t0
 
     sps = n_steps * batch_size / dt
     print(
