@@ -15,7 +15,6 @@ import shutil
 from pathlib import Path
 from typing import Any, Optional
 
-import jax
 import numpy as np
 import orbax.checkpoint as ocp
 

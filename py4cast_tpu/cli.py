@@ -13,7 +13,6 @@ settings and trainer automatically.
 
 from __future__ import annotations
 
-import argparse
 import dataclasses
 import sys
 from pathlib import Path

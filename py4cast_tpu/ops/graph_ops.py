@@ -17,8 +17,6 @@ custom_vjp wires these pairs so XLA never sees a scatter.
 
 from __future__ import annotations
 
-from typing import Tuple
-
 import jax
 import jax.numpy as jnp
 import numpy as np

@@ -17,8 +17,7 @@ Strategies (semantics match lightning.py:497-523):
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
-from functools import partial
+from dataclasses import dataclass
 from typing import Callable, Optional, Sequence, Tuple
 
 import jax

@@ -8,7 +8,7 @@ The analog of the reference's FakeStatics/FakeSumDataset test doubles
 from __future__ import annotations
 
 import datetime as dt
-from typing import List, Tuple
+from typing import Tuple
 
 import numpy as np
 

@@ -19,11 +19,9 @@ Architecture:
 from __future__ import annotations
 
 import dataclasses
-import datetime as dt
 import json
 import time
 from dataclasses import dataclass, field
-from functools import partial
 from pathlib import Path
 from typing import Any, Callable, Dict, List, Optional, Tuple
 
