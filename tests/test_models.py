@@ -92,7 +92,7 @@ def test_gradient_step_reduces_loss(name):
 
     grad_fn = jax.jit(jax.value_and_grad(loss_fn))
     l0 = None
-    for step in range(5):
+    for step in range(3):
         loss, grads = grad_fn(params)
         if step == 0:
             l0 = float(loss)
