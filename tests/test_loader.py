@@ -1,0 +1,68 @@
+"""Threaded prefetch loader semantics: ordering, shuffling, drop_last,
+error propagation (reference analog: torch DataLoader usage,
+datasets/base.py:724-743)."""
+
+import numpy as np
+import pytest
+
+from py4cast_tpu.datasets import get_datasets
+
+
+@pytest.fixture(scope="module")
+def train_ds():
+    ds, _, _ = get_datasets("dummy", 2, 1, 1)
+    return ds
+
+
+def _first_times(batch):
+    return [vt[0] for vt in batch.validity_times]
+
+
+def test_loader_covers_dataset_once(train_ds):
+    loader = train_ds.loader(batch_size=8, shuffle=False)
+    seen = []
+    for batch in loader:
+        assert batch.batch_size == 8  # drop_last keeps shapes static
+        seen.extend(_first_times(batch))
+    assert len(seen) == (len(train_ds) // 8) * 8
+    assert len(set(seen)) == len(seen)  # no duplicates
+
+
+def test_loader_shuffle_is_seeded_and_epoch_salted(train_ds):
+    l1 = train_ds.loader(batch_size=8, shuffle=True, seed=7)
+    e1 = [_first_times(b) for b in l1]
+    e2 = [_first_times(b) for b in l1]  # second epoch reshuffles
+    l2 = train_ds.loader(batch_size=8, shuffle=True, seed=7)
+    e1b = [_first_times(b) for b in l2]
+    assert e1 == e1b  # same seed, same first epoch
+    assert e1 != e2  # epochs differ
+
+
+def test_loader_propagates_worker_errors(train_ds):
+    class Boom:
+        settings = train_ds.settings
+
+        def __len__(self):
+            return 8
+
+        def __getitem__(self, i):
+            raise RuntimeError("boom")
+
+    from py4cast_tpu.datasets.loader import DataLoader
+
+    loader = DataLoader(Boom(), batch_size=4)
+    with pytest.raises(RuntimeError, match="boom"):
+        list(loader)
+
+
+def test_checkpoint_best_tracks_minimum(tmp_path):
+    from py4cast_tpu.checkpoint import CheckpointManager
+
+    ckpt = CheckpointManager(tmp_path, manifest={"x": 1})
+    tree = {"w": np.ones(3)}
+    assert ckpt.maybe_save_best(tree, 1.0)
+    assert not ckpt.maybe_save_best(tree, 2.0)  # worse: not saved
+    assert ckpt.maybe_save_best({"w": np.zeros(3)}, 0.5)
+    restored = ckpt.restore("best", {"w": np.empty(3)})
+    np.testing.assert_array_equal(restored["w"], np.zeros(3))
+    assert ckpt.read_manifest() == {"x": 1}
