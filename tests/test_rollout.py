@@ -176,6 +176,30 @@ def test_mask_on_nan_adds_validity_feature_and_zero_fills():
     assert not np.any(np.isnan(np.asarray(preds)))
 
 
+def test_long_rollout_24_steps_stable():
+    """The SURVEY §7 stretch config: 24-step rollout as one scan — must
+    compile once and stay finite with a contractive model."""
+    def model(x):
+        return -0.01 * x[..., :F]
+
+    cfg = RolloutConfig(strategy="scaled_ar", num_input_steps=N_IN)
+    rng = np.random.default_rng(0)
+    preds = rollout(
+        model,
+        jnp.asarray(rng.standard_normal((1, N_IN, H, W, F)), jnp.float32),
+        jnp.asarray(rng.standard_normal((1, 24, H, W, 2)), jnp.float32),
+        jnp.asarray(rng.standard_normal((1, 24, H, W, F)), jnp.float32),
+        jnp.asarray(STATICS),
+        jnp.asarray(BORDER),
+        jnp.zeros(F),
+        jnp.ones(F),
+        cfg,
+        24,
+    )
+    assert preds.shape == (1, 24, H, W, F)
+    assert np.all(np.isfinite(np.asarray(preds)))
+
+
 def test_rollout_is_jittable_and_scans():
     def model(x):
         return x[..., :F] * 0.9
