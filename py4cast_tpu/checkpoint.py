@@ -56,11 +56,22 @@ class CheckpointManager:
             return json.load(f)
 
     def _save(self, name: str, tree: Any):
-        path = (self.directory / name).absolute()
-        if path.exists():
-            shutil.rmtree(path)
-        self._ckpt.save(path, tree)
+        """Crash-safe replace: write to a temp sibling, then swap via
+        renames — a valid copy of the previous checkpoint stays on disk
+        until the new one is fully written."""
+        final = (self.directory / name).absolute()
+        tmp = (self.directory / f".{name}.tmp").absolute()
+        old = (self.directory / f".{name}.old").absolute()
+        for stale in (tmp, old):
+            if stale.exists():
+                shutil.rmtree(stale)
+        self._ckpt.save(tmp, tree)
         self._ckpt.wait_until_finished()
+        if final.exists():
+            final.rename(old)
+        tmp.rename(final)
+        if old.exists():
+            shutil.rmtree(old)
 
     def save_last(self, tree: Any):
         self._save("last", tree)

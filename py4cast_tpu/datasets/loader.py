@@ -12,6 +12,7 @@ from __future__ import annotations
 
 import queue
 import threading
+from collections import deque
 from concurrent.futures import ThreadPoolExecutor
 from typing import Iterator, List, Optional
 
@@ -78,34 +79,109 @@ class DataLoader:
         return _PrefetchIterator(self, batches)
 
 
-class _PrefetchIterator:
+class _ProducerState:
+    """Everything the producer thread touches. Kept separate from the
+    consumer-facing iterator so that dropping the iterator actually
+    garbage-collects it (the thread would otherwise pin it alive via the
+    ``self._producer`` bound method) and triggers shutdown."""
+
     def __init__(self, loader: DataLoader, batches: List[np.ndarray]):
         self.loader = loader
         self.batches = batches
         self.out: "queue.Queue" = queue.Queue(maxsize=loader.prefetch)
         self.pool = ThreadPoolExecutor(max_workers=loader.num_workers)
         self.error: Optional[BaseException] = None
+        self._closed = threading.Event()
         self.thread = threading.Thread(target=self._producer, daemon=True)
         self.thread.start()
 
+    def _put(self, item) -> bool:
+        """Blocking put that gives up once the iterator is closed."""
+        while not self._closed.is_set():
+            try:
+                self.out.put(item, timeout=0.05)
+                return True
+            except queue.Full:
+                continue
+        return False
+
     def _producer(self):
+        window = self.loader.prefetch + self.loader.num_workers
+        in_flight: deque = deque()
         try:
-            # map() preserves order while workers load batches concurrently
-            for batch in self.pool.map(self.loader._load_batch, self.batches):
-                self.out.put(batch)
+            for indices in self.batches:
+                if self._closed.is_set():
+                    break
+                in_flight.append(
+                    self.pool.submit(self.loader._load_batch, indices)
+                )
+                # submission order == completion-consumption order, so
+                # iteration order is deterministic
+                if len(in_flight) >= window and not self._put(
+                    in_flight.popleft().result()
+                ):
+                    break
+            while in_flight and not self._closed.is_set():
+                if not self._put(in_flight.popleft().result()):
+                    break
         except BaseException as e:  # propagate to consumer
             self.error = e
         finally:
-            self.out.put(_STOP)
+            for fut in in_flight:
+                fut.cancel()
+            self._put(_STOP)
             self.pool.shutdown(wait=False)
 
-    def __iter__(self):
-        return self
+    def close(self):
+        """Stop the producer and release the worker pool."""
+        self._closed.set()
+        # drain so a producer blocked on put() drops its reference
+        try:
+            while True:
+                self.out.get_nowait()
+        except queue.Empty:
+            pass
 
-    def __next__(self) -> ItemBatch:
-        item = self.out.get()
+    def next(self) -> ItemBatch:
+        while True:
+            try:
+                item = self.out.get(timeout=0.5)
+                break
+            except queue.Empty:
+                if self._closed.is_set() or not self.thread.is_alive():
+                    # producer gone without a sentinel (closed / crashed)
+                    if self.error is not None:
+                        raise self.error
+                    raise StopIteration
         if item is _STOP:
             if self.error is not None:
                 raise self.error
             raise StopIteration
         return item
+
+
+class _PrefetchIterator:
+    """Ordered prefetch with a BOUNDED in-flight window.
+
+    The producer submits at most ``prefetch + num_workers`` batch loads at
+    a time (not the whole epoch), so memory stays bounded by the window.
+    An abandoned iterator (limit_train_batches / fast_dev_run) shuts its
+    producer thread and worker pool down via ``close()`` — called
+    explicitly or from ``__del__`` when the consumer drops it.
+    """
+
+    def __init__(self, loader: DataLoader, batches: List[np.ndarray]):
+        self._state = _ProducerState(loader, batches)
+        self.thread = self._state.thread  # exposed for tests/debugging
+
+    def close(self):
+        self._state.close()
+
+    def __del__(self):  # abandoned mid-epoch
+        self.close()
+
+    def __iter__(self):
+        return self
+
+    def __next__(self) -> ItemBatch:
+        return self._state.next()

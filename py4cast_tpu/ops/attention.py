@@ -131,12 +131,14 @@ def _bwd_rule(scale, block_q, interpret, res, g):
     qp, lq = _pad_q(q, block_q)
     gp, _ = _pad_q(g, block_q)
     n_q = qp.shape[1] // block_q
+    # dK/dV accumulate across up to n_q sequential grid steps — keep the
+    # accumulator fp32 even for bf16 inputs and cast once at the end
     dq, dk, dv = pl.pallas_call(
         functools.partial(_bwd_kernel, scale=scale),
         out_shape=(
             jax.ShapeDtypeStruct(qp.shape, q.dtype),
-            jax.ShapeDtypeStruct(k.shape, k.dtype),
-            jax.ShapeDtypeStruct(v.shape, v.dtype),
+            jax.ShapeDtypeStruct(k.shape, jnp.float32),
+            jax.ShapeDtypeStruct(v.shape, jnp.float32),
         ),
         grid=(bh, n_q),
         in_specs=[
@@ -159,7 +161,7 @@ def _bwd_rule(scale, block_q, interpret, res, g):
         ),
         interpret=interpret,
     )(qp, k, v, gp)
-    return dq[:, :lq], dk, dv
+    return dq[:, :lq], dk.astype(k.dtype), dv.astype(v.dtype)
 
 
 short_kv_attention.defvjp(_fwd_rule, _bwd_rule)

@@ -246,19 +246,26 @@ class AutoRegressiveModule:
         return self.model.init(rng, x)
 
     def make_optimizer(self, num_training_steps: int) -> optax.GradientTransformation:
-        """AdamW + warmup-cosine-with-min-lr (reference: lightning.py:442-467)."""
+        """AdamW + warmup-cosine-with-min-lr (reference: lightning.py:442-467).
+
+        ``num_training_steps`` counts MICRO-batches; optax.MultiSteps
+        advances the inner schedule once per ``accumulate_grad_batches``
+        micro-batches, so the schedule is built in OPTIMIZER steps —
+        Lightning's ``estimated_stepping_batches`` semantics."""
         s = self.settings
+        k = max(1, s.accumulate_grad_batches)
+        num_opt_steps = -(-num_training_steps // k)  # ceil division
         schedule = optax.warmup_cosine_decay_schedule(
             init_value=0.0,
             peak_value=s.learning_rate,
             warmup_steps=s.num_warmup_steps,
-            decay_steps=max(num_training_steps, s.num_warmup_steps + 1),
+            decay_steps=max(num_opt_steps, s.num_warmup_steps + 1),
             end_value=s.min_learning_rate,
         )
         self._schedule = schedule
         tx = optax.adamw(schedule, b1=s.betas[0], b2=s.betas[1])
-        if s.accumulate_grad_batches > 1:
-            tx = optax.MultiSteps(tx, every_k_schedule=s.accumulate_grad_batches)
+        if k > 1:
+            tx = optax.MultiSteps(tx, every_k_schedule=k)
         return tx
 
     def init_state(self, rng: jax.Array, num_training_steps: int) -> TrainState:
@@ -518,11 +525,17 @@ class AutoRegressiveModule:
         from py4cast_tpu.metrics import MetricACC, MetricPSDK, MetricPSDVar
 
         grid_shape = self.dataset_info.statics.grid_shape
+        # PSD metrics score the LAST prediction step, like the reference
+        # (lightning.py:316-318: pred_step = num_pred_steps_val_test - 1)
+        last_step = max(0, num_pred_steps - 1)
         return {
             "psd_k": MetricPSDK(
-                save_path, self.output_feature_names, grid_shape
+                save_path, self.output_feature_names, grid_shape,
+                pred_step=last_step,
             ),
-            "psd_var": MetricPSDVar(self.output_feature_names, grid_shape),
+            "psd_var": MetricPSDVar(
+                self.output_feature_names, grid_shape, pred_step=last_step
+            ),
             "acc": MetricACC(self.dataset_info, num_pred_steps),
         }
 
@@ -658,10 +671,14 @@ class Trainer:
                 global_step += 1
                 if global_step % cfg.log_every_n_steps == 0:
                     self._log("train/loss", float(loss), global_step)
-                    # LR monitor (reference: trainer.yaml:46-48)
+                    # LR monitor (reference: trainer.yaml:46-48); the
+                    # schedule ticks in optimizer steps, not micro-steps
                     if hasattr(module, "_schedule"):
+                        opt_step = global_step // max(
+                            1, module.settings.accumulate_grad_batches
+                        )
                         self._log(
-                            "lr-AdamW", float(module._schedule(global_step)),
+                            "lr-AdamW", float(module._schedule(opt_step)),
                             global_step,
                         )
             train_loss = float(np.mean([float(l) for l in losses])) if losses else float("nan")

@@ -55,6 +55,65 @@ def test_loader_propagates_worker_errors(train_ds):
         list(loader)
 
 
+def test_loader_bounds_in_flight_work(train_ds):
+    """The producer must not load the whole epoch eagerly: after one
+    batch is consumed, at most window (prefetch + workers) + queue
+    batches may have been loaded."""
+    import time
+
+    from py4cast_tpu.datasets.loader import DataLoader
+
+    loads = []
+
+    class Counting:
+        settings = train_ds.settings
+
+        def __len__(self):
+            return 64
+
+        def __getitem__(self, i):
+            loads.append(i)
+            return train_ds[i % len(train_ds)]
+
+    loader = DataLoader(Counting(), batch_size=4, num_workers=2, prefetch=2)
+    it = iter(loader)
+    next(it)
+    time.sleep(0.3)  # let the producer run ahead as far as it will
+    # window = prefetch + workers = 4 in-flight batches, + prefetch queued,
+    # + 1 consumed → well under the 16 total batches of the epoch
+    assert len(loads) <= 4 * (2 + 2 + 2 + 1 + 1)
+    it.close()
+
+
+def test_abandoned_loader_shuts_down(train_ds):
+    """limit_train_batches-style abandonment must not leak the producer
+    thread (it was previously blocked forever on queue.put)."""
+    import gc
+    import time
+
+    loader = train_ds.loader(batch_size=4, num_workers=2)
+    it = iter(loader)
+    next(it)  # consume one, abandon the rest
+    thread = it.thread
+    del it
+    gc.collect()
+    thread.join(timeout=5)
+    assert not thread.is_alive()
+
+
+def test_checkpoint_save_replaces_existing(tmp_path):
+    """Atomic-replace path: overwriting `last` keeps a restorable tree."""
+    from py4cast_tpu.checkpoint import CheckpointManager
+
+    ckpt = CheckpointManager(tmp_path, manifest={"x": 1})
+    ckpt.save_last({"w": np.ones(3)})
+    ckpt.save_last({"w": np.full(3, 2.0)})  # replace
+    restored = ckpt.restore("last", {"w": np.empty(3)})
+    np.testing.assert_array_equal(restored["w"], np.full(3, 2.0))
+    leftovers = [p.name for p in tmp_path.iterdir() if p.name.startswith(".last")]
+    assert leftovers == []
+
+
 def test_checkpoint_best_tracks_minimum(tmp_path):
     from py4cast_tpu.checkpoint import CheckpointManager
 

@@ -65,6 +65,24 @@ def test_gradient_accumulation_steps_only_every_k():
     assert not np.array_equal(np.asarray(p0), np.asarray(p6))
 
 
+def test_lr_schedule_counts_optimizer_steps_not_micro_steps():
+    """With accumulate_grad_batches=k the cosine must decay over
+    num_training_steps/k optimizer steps (Lightning's
+    estimated_stepping_batches semantics), not over micro-batches."""
+    micro_steps = 120
+    m_plain = _module(accumulate_grad_batches=1, num_warmup_steps=2)
+    m_accum = _module(accumulate_grad_batches=4, num_warmup_steps=2)
+    m_plain.make_optimizer(micro_steps)
+    m_accum.make_optimizer(micro_steps)
+    # the accumulating schedule reaches min_lr by optimizer step 30
+    end_lr = float(m_accum._schedule(30))
+    assert end_lr == pytest.approx(
+        float(m_plain.settings.min_learning_rate), rel=1e-5
+    )
+    # while the plain schedule is still mid-decay at step 30
+    assert float(m_plain._schedule(30)) > 10 * end_lr
+
+
 def test_bf16_policy_trains_and_keeps_fp32_params():
     m = _module(precision="bf16")
     state = m.init_state(jax.random.key(0), 4)
