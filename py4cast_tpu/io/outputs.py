@@ -103,36 +103,114 @@ def fill_tensor_with(
     return np.ma.masked_invalid(out)
 
 
-#: feature name → GRIB identification keys
-#: (reference: io/outputs.py:325-433 feature2fid)
+#: GRIB shortname token → (discipline, parameterCategory, parameterNumber,
+#: cumulative, eccodes-style alias). Covers every parameter in
+#: datasets/titan/metadata.py (surface, gusts, precip integrals,
+#: radiation, isobaric upper-air, Antilope) — the reference's feature2fid
+#: maps only 6 of these (reference: io/outputs.py:325-433).
 FEATURE2GRIB = {
-    "t2m": {"shortName": "2t", "typeOfLevel": "heightAboveGround", "level": 2},
-    "u10": {"shortName": "10u", "typeOfLevel": "heightAboveGround", "level": 10},
-    "v10": {"shortName": "10v", "typeOfLevel": "heightAboveGround", "level": 10},
-    "r2": {"shortName": "2r", "typeOfLevel": "heightAboveGround", "level": 2},
-    "tp": {"shortName": "tp", "typeOfLevel": "surface", "level": 0},
+    # AROME / ARPEGE surface
+    "t2m": (0, 0, 0, False, "2t"),
+    "r2": (0, 1, 1, False, "2r"),
+    "u10": (0, 2, 2, False, "10u"),
+    "v10": (0, 2, 3, False, "10v"),
+    "ugust": (0, 2, 23, False, "ugust"),
+    "vgust": (0, 2, 24, False, "vgust"),
+    "tp": (0, 1, 8, True, "tp"),
+    "tirf": (0, 1, 65, True, "tirf"),
+    "sprate": (0, 1, 66, True, "sprate"),
+    "sd": (0, 1, 11, False, "sd"),
+    "str": (0, 5, 5, True, "str"),
+    "ssr": (0, 4, 9, True, "ssr"),
+    "tciwv": (0, 1, 64, False, "tciwv"),
+    "prmsl": (0, 3, 1, False, "prmsl"),
+    # Antilope radar precipitation
+    "prec": (0, 1, 8, True, "prec"),
+    # isobaric upper-air
+    "z": (0, 3, 4, False, "z"),
+    "t": (0, 0, 0, False, "t"),
+    "u": (0, 2, 2, False, "u"),
+    "v": (0, 2, 3, False, "v"),
+    "wz": (0, 2, 9, False, "wz"),
+    "r": (0, 1, 1, False, "r"),
+    "ciwc": (0, 1, 84, False, "ciwc"),
+    "clwc": (0, 1, 83, False, "clwc"),
+    "crwc": (0, 1, 85, False, "crwc"),
+    "cswc": (0, 1, 86, False, "cswc"),
 }
 
 
-def feature2fid(feature_name: str) -> Optional[dict]:
-    """Map a py4cast feature name (var_level_leveltype) to GRIB keys."""
+def feature2fid(feature_name: str, time_step_hours: int = 1) -> Optional[dict]:
+    """Map a py4cast feature name (``{var}_{level}_{leveltype}``) to GRIB2
+    identification keys (reference: io/outputs.py:325-433).
+
+    Unknown variables fall back to a deterministic local-table id
+    (category 254) so synthetic datasets still round-trip through the
+    template workflow.
+    """
+    from py4cast_tpu.io.grib2 import LEVEL_TYPE_CODES
+
     parts = feature_name.split("_")
     if len(parts) < 3:
         return None
-    var = "_".join(parts[:-2])
-    level = parts[-2]
     level_type = parts[-1]
-    base = FEATURE2GRIB.get(var.split("_")[-1])
-    if base is not None:
-        return dict(base)
+    if level_type not in LEVEL_TYPE_CODES:
+        return None
     try:
-        return {
-            "shortName": var.split("_")[-1],
-            "typeOfLevel": level_type,
-            "level": int(level),
-        }
+        level = int(parts[-2])
     except ValueError:
         return None
+    var = parts[-3]  # the grib shortname token, e.g. aro_t2m → t2m
+
+    known = FEATURE2GRIB.get(var)
+    if known is not None:
+        discipline, category, number, cumulative, alias = known
+    else:
+        import zlib
+
+        discipline, category = 0, 254  # local-use category
+        number = zlib.crc32(var.encode()) % 255
+        cumulative, alias = False, var
+    fid = {
+        "shortName": alias,
+        "discipline": discipline,
+        "parameterCategory": category,
+        "parameterNumber": number,
+        "typeOfLevel": level_type,
+        "typeOfFirstFixedSurface": LEVEL_TYPE_CODES[level_type],
+        "level": level,
+        "productDefinitionTemplateNumber": 8 if cumulative else 0,
+    }
+    if cumulative:
+        fid["typeOfStatisticalProcessing"] = 1  # accumulation
+        fid["lengthOfTimeRange"] = time_step_hours
+    return fid
+
+
+def template_fids_for_features(
+    feature_names, time_step_hours: int = 1
+) -> List[dict]:
+    """The parameter ids a template GRIB must contain to export the given
+    features — feed to :func:`py4cast_tpu.io.grib2.make_template`."""
+    fids = []
+    for name in feature_names:
+        fid = feature2fid(name, time_step_hours)
+        if fid is not None:
+            fids.append(fid)
+    return fids
+
+
+def _embed_in_template(tf, data: np.ndarray, glat, glon):
+    """Embed model-grid data into a template field's grid, aligning row /
+    column orientation, masked outside the model subdomain."""
+    lat_slice, lon_slice = match_latlon(glat, glon, tf.lat, tf.lon)
+    if (glat[0] > glat[-1]) != (tf.lat[0] > tf.lat[-1]):
+        data = data[::-1]
+    if len(glon) > 1 and len(tf.lon) > 1 and (
+        (glon[0] > glon[-1]) != (tf.lon[0] > tf.lon[-1])
+    ):
+        data = data[:, ::-1]
+    return fill_tensor_with(tf.values.shape, data, lat_slice, lon_slice)
 
 
 def save_named_tensors_to_grib(
@@ -141,57 +219,79 @@ def save_named_tensors_to_grib(
     validity_times: List[dt.datetime],
     settings: OutputSavingSettings,
     sample_identifiers=(),
+    base_datetime: Optional[dt.datetime] = None,
+    time_step_hours: int = 1,
 ):
-    """Write each feature × leadtime of a prediction into a GRIB2 file
-    using eccodes, embedding the subgrid into the template grid
-    (reference: io/outputs.py:116-220)."""
-    try:
-        import eccodes  # noqa: F401
-    except ImportError:
-        warnings.warn("eccodes is not available; skipping GRIB export")
+    """Template-based GRIB2 export: read the operational template, embed
+    each predicted feature × leadtime into the matching template field
+    via ``match_latlon`` / ``fill_tensor_with``, and write one GRIB per
+    leadtime (reference: io/outputs.py:116-220 — epygram replaced by the
+    in-repo codec, py4cast_tpu/io/grib2.py).
+    """
+    import dataclasses as _dc
+
+    from py4cast_tpu.io.grib2 import read_grib2, write_grib2
+
+    if not settings.template_grib or not Path(settings.template_grib).exists():
+        warnings.warn(
+            f"template_grib {settings.template_grib!r} not found; "
+            "skipping GRIB export"
+        )
         return []
 
+    template = read_grib2(settings.template_grib)
+    by_key = {tf.param_key(): tf for tf in template}
+
+    glat = np.asarray(grid.lat)[:, 0]
+    glon = np.asarray(grid.lon)[0, :]
+    if base_datetime is None:
+        base_datetime = validity_times[0] - dt.timedelta(hours=time_step_hours)
+
+    per_leadtime = "leadtime" in settings.sample_identifiers
     written = []
-    path = Path(settings.directory) / settings.get_path(*sample_identifiers)
-    path.parent.mkdir(parents=True, exist_ok=True)
-    with open(path, "wb") as fout:
-        for t, vt in enumerate(validity_times):
-            for fname in pred.feature_names:
-                fid = feature2fid(fname)
-                if fid is None:
-                    warnings.warn(f"No GRIB id mapping for feature {fname}")
-                    continue
-                values = np.asarray(pred[fname])[t, :, :, 0]
-                gid = eccodes.codes_grib_new_from_samples("regular_ll_sfc_grib2")
-                try:
-                    lat = np.asarray(grid.lat)[:, 0]
-                    lon = np.asarray(grid.lon)[0, :]
-                    eccodes.codes_set(gid, "Ni", values.shape[1])
-                    eccodes.codes_set(gid, "Nj", values.shape[0])
-                    eccodes.codes_set(
-                        gid, "latitudeOfFirstGridPointInDegrees", float(lat[0])
-                    )
-                    eccodes.codes_set(
-                        gid, "latitudeOfLastGridPointInDegrees", float(lat[-1])
-                    )
-                    eccodes.codes_set(
-                        gid, "longitudeOfFirstGridPointInDegrees", float(lon[0])
-                    )
-                    eccodes.codes_set(
-                        gid, "longitudeOfLastGridPointInDegrees", float(lon[-1])
-                    )
-                    eccodes.codes_set(gid, "dataDate", int(vt.strftime("%Y%m%d")))
-                    eccodes.codes_set(gid, "dataTime", int(vt.strftime("%H%M")))
-                    for k, v in fid.items():
-                        try:
-                            eccodes.codes_set(gid, k, v)
-                        except eccodes.CodesInternalError:
-                            pass
-                    eccodes.codes_set_values(gid, values.astype(np.float64).ravel())
-                    eccodes.codes_write(gid, fout)
-                finally:
-                    eccodes.codes_release(gid)
+    skipped = set()
+    fields_by_path: dict = {}
+    for t, vt in enumerate(validity_times):
+        leadtime = int(round((vt - base_datetime).total_seconds() / 3600))
+        ids = tuple(sample_identifiers) + ((leadtime,) if per_leadtime else ())
+        path = Path(settings.directory) / settings.get_path(*ids)
+        for fname in pred.feature_names:
+            fid = feature2fid(fname, time_step_hours)
+            if fid is None:
+                skipped.add(fname)
+                continue
+            key = (
+                fid["discipline"], fid["parameterCategory"],
+                fid["parameterNumber"], fid["typeOfFirstFixedSurface"],
+                float(fid["level"]),
+            )
+            tf = by_key.get(key)
+            if tf is None:
+                skipped.add(fname)
+                continue
+            data = np.asarray(pred[fname])[t, :, :, 0]
+            embedded = _embed_in_template(tf, data, glat, glon)
+            fields_by_path.setdefault(path, []).append(
+                _dc.replace(
+                    tf,
+                    values=embedded,
+                    data_date=base_datetime.date(),
+                    data_time=(base_datetime.hour, base_datetime.minute),
+                    forecast_hours=leadtime,
+                    pdt=fid["productDefinitionTemplateNumber"],
+                    stat_processing=fid.get("typeOfStatisticalProcessing", 1),
+                    length_of_time_range=fid.get(
+                        "lengthOfTimeRange", time_step_hours
+                    ),
+                )
+            )
+    for path, fields in fields_by_path.items():
+        write_grib2(path, fields)
         written.append(path)
+    if skipped:
+        warnings.warn(
+            f"No GRIB id/template field for features: {sorted(skipped)}"
+        )
     return written
 
 
@@ -243,6 +343,12 @@ def save_predictions(
                 save_gifs(sample_pred, Path(out_dir) / "gifs", prefix=tag)
             if save_gribs and settings is not None:
                 sample = infer_ds.sample_list[b * batch_pred.dim_size("batch") + i]
+                deltas = sample.timestamps.timedeltas
+                step_h = (
+                    int((deltas[1] - deltas[0]).total_seconds() // 3600)
+                    if len(deltas) > 1
+                    else 1
+                )
                 save_named_tensors_to_grib(
                     sample_pred,
                     infer_ds.grid,
@@ -252,4 +358,6 @@ def save_predictions(
                         sample.timestamps.datetime.strftime("%Y%m%d%H"),
                         tag,
                     ),
+                    base_datetime=sample.timestamps.datetime,
+                    time_step_hours=max(1, step_h),
                 )

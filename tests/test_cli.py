@@ -60,11 +60,48 @@ def test_cli_fit_then_test_then_predict(tmp_path):
     ])
     assert (tmp_path / "run" / "test_scores.json").exists()
 
+    # predict with GRIB product export against a generated template
+    # (reference CI analog + io/outputs.py:116-220 template workflow)
+    import json
+    import sys
+    from unittest import mock
+
+    template = tmp_path / "template.grib"
+    with mock.patch.object(
+        sys, "argv",
+        ["make_grib_template.py", "--dataset", "dummy", "--output",
+         str(template), "--margin", "4"],
+    ):
+        import importlib.util
+
+        spec = importlib.util.spec_from_file_location(
+            "make_grib_template", REPO / "bin" / "make_grib_template.py"
+        )
+        mgt = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(mgt)
+        assert mgt.main() == 0
+    io_conf = tmp_path / "io.json"
+    io_conf.write_text(json.dumps({
+        "template_grib": str(template),
+        "directory": str(tmp_path / "gribs"),
+        "sample_identifiers": ["date", "sample", "leadtime"],
+        "path_to_runtime": "{}_{}_+{}h.grib",
+    }))
+
     main(["predict"] + _base_args(tmp_path) + [
         "--trainer.ckpt_path", str(ckpt),
+        "--data.save_gribs", "true",
+        "--model.io_conf", str(io_conf),
     ])
     preds = list((tmp_path / "run" / "predictions").glob("batch_*.npy"))
     assert preds
+    gribs = list((tmp_path / "gribs").glob("*.grib"))
+    assert gribs, "predict --save_gribs wrote no GRIB products"
+    from py4cast_tpu.io.grib2 import read_grib2
+
+    fields = read_grib2(gribs[0])
+    assert fields and fields[0].values.count() == 64 * 64  # embedded block
+    assert fields[0].values.shape == (72, 72)  # margin-4 template grid
 
 
 def test_cli_unknown_key_rejected(tmp_path):
