@@ -69,6 +69,7 @@ class GraphArtifacts:
         down: List[EdgeSet],
         g2m: EdgeSet,
         m2g: EdgeSet,
+        multi: Optional[EdgeSet] = None,
     ):
         self.n_grid = n_grid
         self.mesh_pos = mesh_pos  # per-level (Nl, 2) normalized positions
@@ -77,8 +78,10 @@ class GraphArtifacts:
         self.down = down  # level l+1 -> l
         self.g2m = g2m  # grid -> mesh level 0
         self.m2g = m2g  # mesh level 0 -> grid
+        # GraphCast-style nested multimesh: all levels' edges expressed on
+        # the level-0 node set (GraphLAM's processor graph)
+        self.multi = multi
         self.level_sizes = [p.shape[0] for p in mesh_pos]
-        # flat-mesh view (GraphLAM): all levels concatenated
         offs = np.cumsum([0] + self.level_sizes)
         self.level_offsets = offs
         self.n_mesh = int(offs[-1])
@@ -171,18 +174,30 @@ def build_graph_artifacts(
     pmin, pmax = pos.min(0), pos.max(0)
     pos = (pos - pmin) / np.where(pmax > pmin, pmax - pmin, 1.0)
 
-    # ---- mesh levels: regular coarsenings
+    # ---- mesh levels: NESTED regular coarsenings. Level l is a stride-2
+    # subsample of level l-1's lattice, so every coarse node coincides
+    # with a level-0 node — which lets GraphLAM's multimesh express all
+    # levels' edges on the single level-0 node set (GraphCast multi-mesh).
+    f = settings.coarsen_factor
+    lh0, lw0 = max(2, h // f), max(2, w // f)
+    row_sel = [np.linspace(0, h - 1, lh0).astype(int)]  # grid-row indices
+    col_sel = [np.linspace(0, w - 1, lw0).astype(int)]
+    row_in0 = [np.arange(lh0)]  # position of each level's rows in level 0
+    col_in0 = [np.arange(lw0)]
+    for _ in range(1, settings.mesh_levels):
+        r0 = row_in0[-1][::2] if len(row_in0[-1]) > 3 else row_in0[-1][[0, -1]]
+        c0 = col_in0[-1][::2] if len(col_in0[-1]) > 3 else col_in0[-1][[0, -1]]
+        row_in0.append(r0)
+        col_in0.append(c0)
+        row_sel.append(row_sel[0][r0])
+        col_sel.append(col_sel[0][c0])
+
     mesh_pos: List[np.ndarray] = []
     level_hw: List[Tuple[int, int]] = []
-    f = settings.coarsen_factor
-    lh, lw = max(2, h // f), max(2, w // f)
-    for level in range(settings.mesh_levels):
-        ii = np.linspace(0, h - 1, lh).astype(int)
-        jj = np.linspace(0, w - 1, lw).astype(int)
+    for ii, jj in zip(row_sel, col_sel):
         sel = (ii[:, None] * w + jj[None, :]).ravel()
         mesh_pos.append(pos[sel])
-        level_hw.append((lh, lw))
-        lh, lw = max(2, lh // 2), max(2, lw // 2)
+        level_hw.append((len(ii), len(jj)))
 
     # ---- intra-level 8-neighbor edges
     intra = []
@@ -213,7 +228,26 @@ def build_graph_artifacts(
     dst = np.repeat(np.arange(len(pos)), 4)
     m2g = EdgeSet(src, dst, _edge_feats(m0[src], pos[dst]))
 
-    return GraphArtifacts(len(pos), mesh_pos, intra, up, down, g2m, m2g)
+    # ---- nested multimesh (GraphLAM): each level's 8-neighbor edges
+    # mapped onto the LEVEL-0 node set via the nesting indices
+    msrc, mdst = [], []
+    lw0_ = level_hw[0][1]
+    for level, (lh, lw) in enumerate(level_hw):
+        s, t = _neighbors8(lh, lw)
+        r0, c0 = row_in0[level], col_in0[level]
+        to0 = (r0[:, None] * lw0_ + c0[None, :]).ravel()
+        msrc.append(to0[s])
+        mdst.append(to0[t])
+    msrc = np.concatenate(msrc)
+    mdst = np.concatenate(mdst)
+    # dedupe edges shared between levels (level-l edges ⊄ level-(l+1)'s,
+    # but endpoints can coincide at tiny sizes)
+    key = msrc.astype(np.int64) * len(m0) + mdst
+    _, uniq = np.unique(key, return_index=True)
+    msrc, mdst = msrc[uniq], mdst[uniq]
+    multi = EdgeSet(msrc, mdst, _edge_feats(m0[msrc], m0[mdst]))
+
+    return GraphArtifacts(len(pos), mesh_pos, intra, up, down, g2m, m2g, multi)
 
 
 class MLP(nn.Module):
@@ -233,14 +267,11 @@ class MLP(nn.Module):
         return x
 
 
-class InteractionNetwork(nn.Module):
-    """One GraphCast/neural-lam message-passing step over a static edge set.
-
-    Sender and receiver node sets may differ (bipartite). Edge update:
-    e' = MLP([e, v_s, v_r]); node update: v' = MLP([v, Σ_in e']) with
-    residuals on both. All index ops are scatter-free gathers
-    (py4cast_tpu.ops.graph_ops) — XLA-TPU compiles scatters pathologically
-    slowly, gathers are fast both to compile and to run.
+class EdgeMessage(nn.Module):
+    """Edge-message half of an interaction network: e' = MLP([e, v_s, v_r])
+    and its per-destination aggregate. All index ops are scatter-free
+    gathers (py4cast_tpu.ops.graph_ops) — XLA-TPU compiles scatters
+    pathologically slowly, gathers are fast both to compile and to run.
 
     ``edges`` is the dict slice of graph_arrays for one edge set:
     {src, dst, src_table, dst_table, dst_count}.
@@ -249,7 +280,6 @@ class InteractionNetwork(nn.Module):
     hidden_dim: int
     hidden_layers: int = 1
     aggr: str = "sum"
-    update_edges: bool = True
 
     @nn.compact
     def __call__(self, v_src, v_dst, e, edges: dict, regular_k=None):
@@ -271,9 +301,30 @@ class InteractionNetwork(nn.Module):
             agg = edge_aggregate(e_new, edges["dst_table"], edges["dst"])
         if self.aggr == "mean":
             agg = agg / jnp.maximum(edges["dst_count"], 1.0)[None, :, None]
-        v_new = MLP(self.hidden_dim, self.hidden_dim, self.hidden_layers)(
-            jnp.concatenate([v_dst, agg], axis=-1)
-        )
+        return e_new, agg
+
+
+class InteractionNetwork(nn.Module):
+    """One GraphCast/neural-lam message-passing step over a static edge set.
+
+    Sender and receiver node sets may differ (bipartite). Edge update:
+    e' = MLP([e, v_s, v_r]); node update: v' = MLP([v, Σ_in e']) with
+    residuals on both.
+    """
+
+    hidden_dim: int
+    hidden_layers: int = 1
+    aggr: str = "sum"
+    update_edges: bool = True
+
+    @nn.compact
+    def __call__(self, v_src, v_dst, e, edges: dict, regular_k=None):
+        e_new, agg = EdgeMessage(
+            self.hidden_dim, self.hidden_layers, self.aggr, name="edge"
+        )(v_src, v_dst, e, edges, regular_k)
+        v_new = MLP(
+            self.hidden_dim, self.hidden_dim, self.hidden_layers, name="node"
+        )(jnp.concatenate([v_dst, agg], axis=-1))
         v_out = v_dst + v_new
         e_out = e + e_new if self.update_edges else e
         return v_out, e_out
@@ -427,27 +478,9 @@ class _GraphModelBase(ModelBase):
             add(f"down_{l}", es.src, es.dst, es.feats,
                 g.level_sizes[l + 1], g.level_sizes[l])
 
-        # flat view over all levels (GraphLAM / HiLAMParallel)
-        offs = g.level_offsets
-        srcs = [es.src + offs[l] for l, es in enumerate(g.intra)]
-        dsts = [es.dst + offs[l] for l, es in enumerate(g.intra)]
-        feats = [es.feats for es in g.intra]
-        for l, es in enumerate(g.up):
-            srcs.append(es.src + offs[l])
-            dsts.append(es.dst + offs[l + 1])
-            feats.append(es.feats)
-        for l, es in enumerate(g.down):
-            srcs.append(es.src + offs[l + 1])
-            dsts.append(es.dst + offs[l])
-            feats.append(es.feats)
-        add(
-            "flat",
-            np.concatenate(srcs).astype(np.int32),
-            np.concatenate(dsts).astype(np.int32),
-            np.concatenate(feats).astype(np.float32),
-            g.n_mesh,
-            g.n_mesh,
-        )
+        # nested multimesh over the level-0 node set (GraphLAM)
+        n0 = g.level_sizes[0]
+        add("multi", g.multi.src, g.multi.dst, g.multi.feats, n0, n0)
         g._regular_k = regular
         g._arrays_cache = d
         return d
@@ -464,11 +497,13 @@ class _GraphModelBase(ModelBase):
         return {k: jnp.asarray(v) for k, v in self.graph_arrays(self.graph).items()}
 
     # ---- shared pieces (called inside subclasses' @nn.compact __call__)
-    def _embed(self, x, garr):
+    def _embed(self, x, garr, num_levels: Optional[int] = None):
         g = self.graph
         s = self.settings
         h = s.hidden_dims
         b = x.shape[0]
+        if num_levels is None:
+            num_levels = len(g.mesh_pos)
         grid_v = MLP(h, h, s.hidden_layers, name="grid_embed")(x)
         mesh_v = [
             jnp.broadcast_to(
@@ -477,7 +512,7 @@ class _GraphModelBase(ModelBase):
                 )[None],
                 (b, g.level_sizes[l], h),
             )
-            for l in range(len(g.mesh_pos))
+            for l in range(num_levels)
         ]
         return grid_v, mesh_v
 
@@ -515,30 +550,30 @@ class _GraphModelBase(ModelBase):
             layer_norm=False, name="decoder",
         )(grid_v)
 
-    def _flat_process(self, garr, grid_v, mesh_v):
-        """g2m → scanned flat-mesh processor → m2g (GraphLAM core)."""
-        g, s = self.graph, self.settings
+    def _multimesh_process(self, garr, grid_v, mesh_v0):
+        """g2m → scanned multimesh processor → m2g (GraphLAM core): ONE
+        node set (mesh level 0) carrying the union of all levels'
+        edges — the GraphCast multi-mesh, nested by construction."""
+        s = self.settings
         b = grid_v.shape[0]
-        v0 = self._g2m(garr, grid_v, mesh_v[0])
-        mesh_flat = jnp.concatenate([v0] + mesh_v[1:], axis=1)
+        v0 = self._g2m(garr, grid_v, mesh_v0)
         e = MLP(s.hidden_dims, s.hidden_dims, s.hidden_layers,
-                name="mesh_edge_embed")(garr["flat_feats"])
+                name="mesh_edge_embed")(garr["multi_feats"])
         e = jnp.broadcast_to(e[None], (b,) + e.shape)
         proc = _scan_layers(
             _FlatProcessorStep, s.processor_layers, "processor",
             hidden_dim=s.hidden_dims, hidden_layers=s.hidden_layers,
             aggr=s.mesh_aggr,
         )
-        (mesh_flat, e, _), _ = proc(
-            (mesh_flat, e, _edge_dict(garr, "flat")), None
-        )
-        grid_out = self._m2g(garr, mesh_flat[:, : g.level_sizes[0]], grid_v)
+        (v0, e, _), _ = proc((v0, e, _edge_dict(garr, "multi")), None)
+        grid_out = self._m2g(garr, v0, grid_v)
         return self._decode(grid_out)
 
 
 class GraphLAM(_GraphModelBase):
-    """Flat multiscale GNN: all mesh levels merged into one graph
-    (GraphCast/neural-lam 'GraphLAM')."""
+    """Multiscale GNN on a GraphCast-style nested multi-mesh: a single
+    mesh node set (level 0) whose edge set is the union of 8-neighbor
+    edges at every coarsening scale (neural-lam 'GraphLAM')."""
 
     settings: GraphModelSettings = GraphModelSettings()
     graph: Optional[GraphArtifacts] = None
@@ -547,8 +582,8 @@ class GraphLAM(_GraphModelBase):
     @nn.compact
     def __call__(self, x, graph_arrays=None, deterministic: bool = True):
         garr = self._garr(graph_arrays)
-        grid_v, mesh_v = self._embed(x, garr)
-        return self._flat_process(garr, grid_v, mesh_v)
+        grid_v, mesh_v = self._embed(x, garr, num_levels=1)
+        return self._multimesh_process(garr, grid_v, mesh_v[0])
 
 
 class HiLAM(_GraphModelBase):
@@ -595,9 +630,73 @@ class HiLAM(_GraphModelBase):
         return self._decode(grid_out)
 
 
+class _HiLAMParallelStep(nn.Module):
+    """One scanned HiLAMParallel processor layer: ALL hierarchy edge sets
+    (intra at every level, up, down) compute messages simultaneously from
+    the current node states through SEPARATE interaction networks, then
+    each level's nodes are updated ONCE with the sum of their incoming
+    aggregates — no sequential sweep (contrast _HiLAMSweepStep)."""
+
+    hidden_dim: int
+    hidden_layers: int
+    aggr: str
+    level_sizes: Tuple[int, ...]
+    down_ks: Tuple = ()
+
+    @nn.compact
+    def __call__(self, carry, _):
+        mesh_v, intra_e, up_e, down_e, garr = carry
+        L = len(self.level_sizes)
+
+        def emsg(name):
+            return EdgeMessage(
+                self.hidden_dim, self.hidden_layers, self.aggr, name=name
+            )
+
+        aggs = [None] * L
+
+        def accumulate(l, agg):
+            aggs[l] = agg if aggs[l] is None else aggs[l] + agg
+
+        new_intra, new_up, new_down = [], [], []
+        for l in range(L):
+            e_new, agg = emsg(f"intra_{l}")(
+                mesh_v[l], mesh_v[l], intra_e[l], _edge_dict(garr, f"intra_{l}")
+            )
+            new_intra.append(intra_e[l] + e_new)
+            accumulate(l, agg)
+        for l in range(L - 1):
+            e_new, agg = emsg(f"up_{l}")(
+                mesh_v[l], mesh_v[l + 1], up_e[l], _edge_dict(garr, f"up_{l}")
+            )
+            new_up.append(up_e[l] + e_new)
+            accumulate(l + 1, agg)
+            e_new, agg = emsg(f"down_{l}")(
+                mesh_v[l + 1], mesh_v[l], down_e[l],
+                _edge_dict(garr, f"down_{l}"),
+                regular_k=self.down_ks[l] if l < len(self.down_ks) else None,
+            )
+            new_down.append(down_e[l] + e_new)
+            accumulate(l, agg)
+
+        new_v = tuple(
+            mesh_v[l]
+            + MLP(self.hidden_dim, self.hidden_dim, self.hidden_layers,
+                  name=f"node_{l}")(
+                jnp.concatenate([mesh_v[l], aggs[l]], axis=-1)
+            )
+            for l in range(L)
+        )
+        return (new_v, tuple(new_intra), tuple(new_up), tuple(new_down),
+                garr), None
+
+
 class HiLAMParallel(_GraphModelBase):
-    """HiLAM variant processing every hierarchy edge set simultaneously
-    per layer: one flat graph over all levels + inter-level edges."""
+    """HiLAM variant where each processor layer runs every hierarchy edge
+    set (intra per level + up + down) in PARALLEL with separate
+    interaction networks and a single node update per level — vs HiLAM's
+    sequential up-then-down sweep (reference surface:
+    config/CLI/model/hilamparallel.yaml, SURVEY §2.2)."""
 
     settings: GraphModelSettings = GraphModelSettings()
     graph: Optional[GraphArtifacts] = None
@@ -606,5 +705,33 @@ class HiLAMParallel(_GraphModelBase):
     @nn.compact
     def __call__(self, x, graph_arrays=None, deterministic: bool = True):
         garr = self._garr(graph_arrays)
+        g, s = self.graph, self.settings
+        b = x.shape[0]
         grid_v, mesh_v = self._embed(x, garr)
-        return self._flat_process(garr, grid_v, mesh_v)
+        mesh_v[0] = self._g2m(garr, grid_v, mesh_v[0])
+
+        L = len(g.mesh_pos)
+        intra_e = tuple(
+            self._edge_emb(garr, f"intra_{l}_feats", b, f"intra_edge_embed_{l}")
+            for l in range(L)
+        )
+        up_e = tuple(
+            self._edge_emb(garr, f"up_{l}_feats", b, f"up_edge_embed_{l}")
+            for l in range(L - 1)
+        )
+        down_e = tuple(
+            self._edge_emb(garr, f"down_{l}_feats", b, f"down_edge_embed_{l}")
+            for l in range(L - 1)
+        )
+
+        proc = _scan_layers(
+            _HiLAMParallelStep, s.processor_layers, "processor",
+            hidden_dim=s.hidden_dims, hidden_layers=s.hidden_layers,
+            aggr=s.mesh_aggr, level_sizes=tuple(g.level_sizes),
+            down_ks=tuple(self._reg_k(f"down_{l}") for l in range(L - 1)),
+        )
+        (mesh_v_t, _, _, _, _), _ = proc(
+            (tuple(mesh_v), intra_e, up_e, down_e, garr), None
+        )
+        grid_out = self._m2g(garr, mesh_v_t[0], grid_v)
+        return self._decode(grid_out)
