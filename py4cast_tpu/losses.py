@@ -125,29 +125,59 @@ class ScaledLoss(Py4CastLoss):
 class PerceptualLossPy4Cast(Py4CastLoss):
     """Feature-space perceptual loss on min-max-normalized fields.
 
-    The reference wraps mfai's VGG16-based PerceptualLoss
-    (losses.py:213-260). Pretrained VGG weights are not available
-    offline, so this uses a fixed (non-trained) multi-scale random
-    conv feature pyramid — a randomized perceptual metric, which is a
-    known-good proxy (random VGG features correlate strongly with
-    pretrained ones for perceptual distances).
+    The reference wraps mfai's pretrained-VGG16 PerceptualLoss
+    (losses.py:213-260). Pretrained VGG weights cannot be downloaded
+    here, so this ships its own TRAINED feature extractor: a small conv
+    encoder trained as a denoising autoencoder on synthetic multi-scale
+    random fields (bin/train_perceptual_features.py, weights in
+    py4cast_tpu/data/perceptual_feats.npz). Applied channel-iteratively
+    (each physical field through the single-channel encoder — the mfai
+    multi-channel strategy). A fixed random conv pyramid remains as a
+    fallback when the weights file is absent (``trained=False``).
     """
 
-    def __init__(self, in_channels: int = 1, num_scales: int = 3, **_):
-        self.in_channels = in_channels
+    def __init__(self, in_channels: int = 1, num_scales: int = 3,
+                 trained: bool = True, **_):
+        self.in_channels = in_channels  # accepted for config parity
         self.num_scales = num_scales
+        self.trained = trained
         self._kernels = None
+        self._biases = None
+
+    def _load_trained(self) -> bool:
+        from pathlib import Path
+
+        path = Path(__file__).parent / "data" / "perceptual_feats.npz"
+        if not path.exists():
+            return False
+        with np.load(path) as z:
+            layers = sorted(
+                int(k[1:]) for k in z.files if k.startswith("k")
+            )
+            self._kernels = [jnp.asarray(z[f"k{i}"]) for i in layers]
+            self._biases = [jnp.asarray(z[f"b{i}"]) for i in layers]
+        return True
 
     def prepare(self, interior_mask, dataset_info, feature_names: Sequence[str]):
-        rng = np.random.default_rng(0)
-        self._kernels = [
-            jnp.asarray(
-                rng.standard_normal((3, 3, self.in_channels if s == 0 else 32, 32))
-                .astype(np.float32)
-                / np.sqrt(9.0 * (self.in_channels if s == 0 else 32))
-            )
-            for s in range(self.num_scales)
-        ]
+        loaded = self.trained and self._load_trained()
+        if not loaded:
+            if self.trained:
+                import warnings
+
+                warnings.warn(
+                    "perceptual_feats.npz not found — falling back to the "
+                    "fixed random feature pyramid"
+                )
+            rng = np.random.default_rng(0)
+            self._kernels = [
+                jnp.asarray(
+                    rng.standard_normal((3, 3, 1 if s == 0 else 32, 32))
+                    .astype(np.float32)
+                    / np.sqrt(9.0 * (1 if s == 0 else 32))
+                )
+                for s in range(self.num_scales)
+            ]
+            self._biases = [jnp.zeros(k.shape[-1]) for k in self._kernels]
         self._mins = jnp.asarray(
             [dataset_info.stats[n]["min"] for n in feature_names], jnp.float32
         )
@@ -168,16 +198,16 @@ class PerceptualLossPy4Cast(Py4CastLoss):
         )
 
     def _features(self, x):
-        """x: (N, H, W, C) → list of feature maps."""
+        """x: (N, H, W, 1) → list of feature maps per scale."""
         import jax.lax as lax
 
         feats = []
         h = x
-        for k in self._kernels:
+        for k, b in zip(self._kernels, self._biases):
             h = lax.conv_general_dilated(
                 h, k, (1, 1), "SAME", dimension_numbers=("NHWC", "HWIO", "NHWC")
             )
-            h = jnp.maximum(h, 0.0)
+            h = jnp.maximum(h + b, 0.0)
             feats.append(h)
             h = h[:, ::2, ::2, :]  # stride-2 downsample between scales
         return feats
@@ -186,14 +216,21 @@ class PerceptualLossPy4Cast(Py4CastLoss):
         pred = self._normalize(prediction.array) * mask
         tgt = self._normalize(target.array) * mask
         b, t = pred.shape[:2]
-        pred_flat = pred.reshape((b * t,) + pred.shape[2:])
-        tgt_flat = tgt.reshape((b * t,) + tgt.shape[2:])
+        # channel-iterative: every physical field through the 1-channel
+        # encoder (fold features into the batch dim)
+        spatial = pred.shape[2:-1]
+        f = pred.shape[-1]
+        pred_flat = jnp.moveaxis(
+            pred.reshape((b * t,) + spatial + (f,)), -1, 1
+        ).reshape((b * t * f,) + spatial + (1,))
+        tgt_flat = jnp.moveaxis(
+            tgt.reshape((b * t,) + spatial + (f,)), -1, 1
+        ).reshape((b * t * f,) + spatial + (1,))
         loss = 0.0
         for fp, ft in zip(self._features(pred_flat), self._features(tgt_flat)):
-            loss = loss + jnp.mean(
-                (fp - ft) ** 2, axis=tuple(range(1, fp.ndim))
-            )
-        return loss.reshape(b, t)
+            per_img = jnp.mean((fp - ft) ** 2, axis=tuple(range(1, fp.ndim)))
+            loss = loss + per_img.reshape(b, t, f).mean(axis=-1)
+        return loss
 
 
 LOSS_CLASSES = {
