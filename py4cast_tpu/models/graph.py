@@ -273,6 +273,17 @@ class EdgeMessage(nn.Module):
     gathers (py4cast_tpu.ops.graph_ops) — XLA-TPU compiles scatters
     pathologically slowly, gathers are fast both to compile and to run.
 
+    HBM-traffic design (the GNN step is bandwidth-bound, ~67 GB/step
+    measured on the 500×500 config before this layout):
+    - The first dense of the edge MLP is DECOMPOSED over the concat:
+      W[e ‖ v_s ‖ v_d] = W_e·e + W_s·v_s + W_d·v_d. Node states are
+      projected at NODE granularity and the projections gathered per
+      edge — for m2g (1M edges from 16k mesh nodes) that is a 64×
+      smaller matmul operand, and the (E, 3h) concat never exists.
+    - Regular edge sets (exactly K contiguous edges per destination,
+      e.g. m2g K=4, down K=1) never gather v_dst at all: the projection
+      broadcasts over K, and aggregation is a reshape-sum.
+
     ``edges`` is the dict slice of graph_arrays for one edge set:
     {src, dst, src_table, dst_table, dst_count}.
     """
@@ -285,19 +296,38 @@ class EdgeMessage(nn.Module):
     def __call__(self, v_src, v_dst, e, edges: dict, regular_k=None):
         from py4cast_tpu.ops.graph_ops import edge_aggregate, gather_nodes
 
+        h = self.hidden_dim
         # v_src: (B, Ns, h), v_dst: (B, Nd, h), e: (B, E, h)
-        vs = gather_nodes(v_src, edges["src"], edges["src_table"])
-        vd = gather_nodes(v_dst, edges["dst"], edges["dst_table"])
-        e_new = MLP(self.hidden_dim, self.hidden_dim, self.hidden_layers)(
-            jnp.concatenate([e, vs, vd], axis=-1)
-        )
+        pe = nn.Dense(h, name="w_e")(e)
+        ps = nn.Dense(h, use_bias=False, name="w_s")(v_src)
+        pd = nn.Dense(h, use_bias=False, name="w_d")(v_dst)
+
+        def tail(z):
+            for i in range(self.hidden_layers - 1):
+                z = nn.silu(nn.Dense(h, name=f"hidden_{i}")(z))
+            z = nn.Dense(h, name="out")(z)
+            return nn.LayerNorm(name="ln")(z)
+
         if regular_k:
-            # regular edge sets (e.g. m2g: exactly K contiguous edges per
-            # destination) aggregate with a reshape — no gather at all,
-            # and the backward pass is a broadcast
-            b, E, h = e_new.shape
-            agg = e_new.reshape(b, E // regular_k, regular_k, h).sum(axis=2)
+            b, E, _ = pe.shape
+            nd = E // regular_k
+            pre = (
+                pe.reshape(b, nd, regular_k, h)
+                + gather_nodes(ps, edges["src"], edges["src_table"]).reshape(
+                    b, nd, regular_k, h
+                )
+                + pd[:, :, None, :]
+            )
+            e_new4 = tail(nn.silu(pre))
+            agg = e_new4.sum(axis=2)
+            e_new = e_new4.reshape(b, E, h)
         else:
+            pre = (
+                pe
+                + gather_nodes(ps, edges["src"], edges["src_table"])
+                + gather_nodes(pd, edges["dst"], edges["dst_table"])
+            )
+            e_new = tail(nn.silu(pre))
             agg = edge_aggregate(e_new, edges["dst_table"], edges["dst"])
         if self.aggr == "mean":
             agg = agg / jnp.maximum(edges["dst_count"], 1.0)[None, :, None]
@@ -490,11 +520,21 @@ class _GraphModelBase(ModelBase):
         self.graph_arrays(self.graph)  # ensure computed (cached)
         return getattr(self.graph, "_regular_k", {}).get(prefix)
 
-    def _garr(self, graph_arrays):
-        """Fallback for standalone use: materialize from self.graph."""
-        if graph_arrays is not None:
-            return graph_arrays
-        return {k: jnp.asarray(v) for k, v in self.graph_arrays(self.graph).items()}
+    def _garr(self, graph_arrays, dtype=None):
+        """Materialize graph arrays (from the explicit argument or
+        self.graph) and cast float entries to the compute dtype — the
+        GNN step is HBM-bound, so fp32 edge features/counts would double
+        the traffic of every edge op under the bf16 policy."""
+        if graph_arrays is None:
+            graph_arrays = {
+                k: jnp.asarray(v) for k, v in self.graph_arrays(self.graph).items()
+            }
+        if dtype is not None:
+            graph_arrays = {
+                k: v.astype(dtype) if jnp.issubdtype(v.dtype, jnp.floating) else v
+                for k, v in graph_arrays.items()
+            }
+        return graph_arrays
 
     # ---- shared pieces (called inside subclasses' @nn.compact __call__)
     def _embed(self, x, garr, num_levels: Optional[int] = None):
@@ -581,7 +621,7 @@ class GraphLAM(_GraphModelBase):
 
     @nn.compact
     def __call__(self, x, graph_arrays=None, deterministic: bool = True):
-        garr = self._garr(graph_arrays)
+        garr = self._garr(graph_arrays, dtype=x.dtype)
         grid_v, mesh_v = self._embed(x, garr, num_levels=1)
         return self._multimesh_process(garr, grid_v, mesh_v[0])
 
@@ -597,7 +637,7 @@ class HiLAM(_GraphModelBase):
 
     @nn.compact
     def __call__(self, x, graph_arrays=None, deterministic: bool = True):
-        garr = self._garr(graph_arrays)
+        garr = self._garr(graph_arrays, dtype=x.dtype)
         g, s = self.graph, self.settings
         b = x.shape[0]
         grid_v, mesh_v = self._embed(x, garr)
@@ -704,7 +744,7 @@ class HiLAMParallel(_GraphModelBase):
 
     @nn.compact
     def __call__(self, x, graph_arrays=None, deterministic: bool = True):
-        garr = self._garr(graph_arrays)
+        garr = self._garr(graph_arrays, dtype=x.dtype)
         g, s = self.graph, self.settings
         b = x.shape[0]
         grid_v, mesh_v = self._embed(x, garr)
