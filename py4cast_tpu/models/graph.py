@@ -360,6 +360,57 @@ class InteractionNetwork(nn.Module):
         return v_out, e_out
 
 
+class EncodeDecodeInteraction(nn.Module):
+    """Lean interaction for the encode (g2m) / decode (m2g) hops, where
+    edge states are never carried across layers: the static edge features
+    (dx, dy, length) enter through ONE linear instead of a 2-layer embed
+    chain, so per-edge work is silu(W_f·f + ps[src] + pd) → dense → LN →
+    aggregate. On the big bipartite hops (m2g: 4·n_grid edges) this
+    removes several (E, h) intermediates from HBM — the step is
+    bandwidth-bound. Node update matches InteractionNetwork."""
+
+    hidden_dim: int
+    hidden_layers: int = 1
+    aggr: str = "sum"
+
+    @nn.compact
+    def __call__(self, v_src, v_dst, feats, edges: dict, regular_k=None):
+        from py4cast_tpu.ops.graph_ops import edge_aggregate, gather_nodes
+
+        h = self.hidden_dim
+        pf = nn.Dense(h, name="w_f")(feats)[None]  # (1, E, h) from static
+        ps = nn.Dense(h, use_bias=False, name="w_s")(v_src)
+        pd = nn.Dense(h, use_bias=False, name="w_d")(v_dst)
+
+        def tail(z):
+            z = nn.Dense(h, name="out")(nn.silu(z))
+            return nn.LayerNorm(name="ln")(z)
+
+        if regular_k:
+            b, nd = pd.shape[:2]
+            pre = (
+                pf.reshape(1, nd, regular_k, h)
+                + gather_nodes(ps, edges["src"], edges["src_table"]).reshape(
+                    b, nd, regular_k, h
+                )
+                + pd[:, :, None, :]
+            )
+            agg = tail(pre).sum(axis=2)
+        else:
+            pre = (
+                pf
+                + gather_nodes(ps, edges["src"], edges["src_table"])
+                + gather_nodes(pd, edges["dst"], edges["dst_table"])
+            )
+            agg = edge_aggregate(tail(pre), edges["dst_table"], edges["dst"])
+        if self.aggr == "mean":
+            agg = agg / jnp.maximum(edges["dst_count"], 1.0)[None, :, None]
+        v_new = MLP(
+            self.hidden_dim, self.hidden_dim, self.hidden_layers, name="node"
+        )(jnp.concatenate([v_dst, agg], axis=-1))
+        return v_dst + v_new
+
+
 def _edge_dict(garr: dict, prefix: str) -> dict:
     return {
         k: garr[f"{prefix}_{k}"]
@@ -565,23 +616,16 @@ class _GraphModelBase(ModelBase):
 
     def _g2m(self, garr, grid_v, mesh_v0):
         s = self.settings
-        b = grid_v.shape[0]
-        e = self._edge_emb(garr, "g2m_feats", b, "g2m_edge_embed")
-        v, _ = InteractionNetwork(
-            s.hidden_dims, s.hidden_layers, s.mesh_aggr, update_edges=False,
-            name="g2m",
-        )(grid_v, mesh_v0, e, _edge_dict(garr, "g2m"))
-        return v
+        return EncodeDecodeInteraction(
+            s.hidden_dims, s.hidden_layers, s.mesh_aggr, name="g2m"
+        )(grid_v, mesh_v0, garr["g2m_feats"], _edge_dict(garr, "g2m"))
 
     def _m2g(self, garr, mesh_v0, grid_v):
         s = self.settings
-        b = grid_v.shape[0]
-        e = self._edge_emb(garr, "m2g_feats", b, "m2g_edge_embed")
-        v, _ = InteractionNetwork(
-            s.hidden_dims, s.hidden_layers, s.mesh_aggr, update_edges=False,
-            name="m2g",
-        )(mesh_v0, grid_v, e, _edge_dict(garr, "m2g"), regular_k=self._reg_k("m2g"))
-        return v
+        return EncodeDecodeInteraction(
+            s.hidden_dims, s.hidden_layers, s.mesh_aggr, name="m2g"
+        )(mesh_v0, grid_v, garr["m2g_feats"], _edge_dict(garr, "m2g"),
+          regular_k=self._reg_k("m2g"))
 
     def _decode(self, grid_v):
         s = self.settings
