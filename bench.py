@@ -1,15 +1,22 @@
 #!/usr/bin/env python
-"""Headline benchmark: HalfUNet auto-regressive training throughput on a
-Titan-sized grid (512×640, 21 prognostic + 21 forcing features,
-scaled_ar, batch 1) — the reference's default Titan training config
-(reference: config/CLI/dataset/titan.yaml:30-78, BASELINE.md).
+"""Headline benchmarks: auto-regressive training throughput per chip.
 
-Baseline: the only recorded reference training speed is HiLAM at
-1.53 it/s, batch 1, 1 AR step, 500×500 grid on one V100
-(reference doc/num_steps.md:119-121). We report samples/sec of the full
-jitted train step (forward + backward + optimizer) on one chip.
+Runs the four bench models (HalfUNet, UNetRPP, GraphLAM, HiLAM) on
+Titan-sized grids (512×640 CNN/ViT; 500×500 GNN — the reference's only
+recorded training-speed config), scaled_ar, batch 1, and prints ONE
+JSON line per model: samples/s/chip, MFU (XLA cost-analysis flops /
+wall / peak), and compile seconds. The FINAL line is the headline:
+HiLAM against the reference's like-for-like HiLAM baseline (1.53 it/s,
+1 AR step, batch 1, 500×500, V100 — reference doc/num_steps.md:119-121),
+with every model's numbers embedded.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Timing uses BENCH_MODE=scan (all steps inside ONE lax.scan dispatch) so
+per-dispatch tunnel latency does not pollute the device rate; completion
+is forced by a scalar value transfer (block_until_ready is unreliable
+through remote TPU tunnels).
+
+Env knobs: BENCH_MODEL (one model instead of all), BENCH_BATCH,
+BENCH_STEPS, BENCH_PRECISION, BENCH_MODE=scan|loop.
 """
 
 import json
@@ -22,28 +29,46 @@ sys.path.insert(0, str(Path(__file__).resolve().parent))
 os.environ.setdefault("PY4CAST_TPU_ROOTDIR", "/tmp/py4cast_tpu_bench")
 
 BASELINE_SAMPLES_PER_SEC = 1.53  # doc/num_steps.md:119-121 (V100, batch 1)
+HEADLINE_MODEL = "HiLAM"  # the model the baseline was measured on
+
+#: peak bf16 FLOP/s per chip for MFU estimates
+PEAK_FLOPS = {
+    "TPU v5 lite": 197e12,  # v5e
+    "TPU v5": 459e12,  # v5p
+    "TPU v4": 275e12,
+    "cpu": 1e11,  # nominal, so MFU stays defined on CPU runs
+}
+
+CONFIGS = {
+    "HalfUNet": ((512, 640), {"num_filters": 64}),
+    "UNetRPP": ((512, 640), {"hidden_size": 256, "downsampling_rate": 4}),
+    "GraphLAM": ((500, 500), {"hidden_dims": 64, "processor_layers": 4,
+                              "mesh_levels": 3}),
+    "HiLAM": ((500, 500), {"hidden_dims": 64, "processor_layers": 4,
+                           "mesh_levels": 3}),
+}
 
 
-def main():
+def peak_flops():
     import jax
+
+    kind = jax.devices()[0].device_kind
+    for key, val in PEAK_FLOPS.items():
+        if key in kind:
+            return val
+    return PEAK_FLOPS.get(jax.default_backend(), 197e12)
+
+
+def bench_model(model: str, batch_size: int, n_steps: int, precision: str,
+                mode: str) -> dict:
+    import jax
+    import jax.numpy as jnp
 
     from py4cast_tpu.parallel.mesh import MeshConfig, make_mesh
     from py4cast_tpu.testing import synthetic_batch, synthetic_dataset_info
     from py4cast_tpu.training import AutoRegressiveModule, TrainingSettings
 
-    batch_size = int(os.environ.get("BENCH_BATCH", "1"))
-    model = os.environ.get("BENCH_MODEL", "HalfUNet")
-    # per-model benchmark configs; HiLAM mirrors the reference's recorded
-    # measurement (1 AR step, batch 1, 500×500 grid, doc/num_steps.md:119)
-    configs = {
-        "HalfUNet": ((512, 640), {"num_filters": 64}),
-        "UNetRPP": ((512, 640), {"hidden_size": 256, "downsampling_rate": 4}),
-        "HiLAM": ((500, 500), {"hidden_dims": 64, "processor_layers": 4,
-                               "mesh_levels": 3}),
-        "GraphLAM": ((500, 500), {"hidden_dims": 64, "processor_layers": 4,
-                                  "mesh_levels": 3}),
-    }
-    grid, init_args = configs.get(model, ((512, 640), {}))
+    grid, init_args = CONFIGS.get(model, ((512, 640), {}))
     info = synthetic_dataset_info(
         grid_shape=grid, weather_features=21, forcing_features=21
     )
@@ -52,75 +77,106 @@ def main():
         settings_init_args=init_args,
         training_strategy="scaled_ar",
         num_input_steps=2,
-        precision=os.environ.get("BENCH_PRECISION", "bf16"),
+        precision=precision,
         num_warmup_steps=10,
     )
     mesh = make_mesh(MeshConfig(data_parallel=1), jax.devices()[:1])
     module = AutoRegressiveModule(settings, info, mesh=mesh)
     state = module.init_state(jax.random.key(0), num_training_steps=1000)
     batch = synthetic_batch(info, batch_size=batch_size, num_pred_steps=1)
-
     rng = jax.random.key(1)
     # stage the batch on device once: the bench measures the train step
     # (fwd+bwd+optimizer), not host→device transfer of synthetic data
     inputs, forcing, outputs = module._batch_arrays(batch)
-    step_fn = module._get_jitted("train", batch.num_pred_steps)
-
     graph = module._graph_buffers
-    n_steps = int(os.environ.get("BENCH_STEPS", "20"))
 
-    if os.environ.get("BENCH_MODE", "scan") == "scan":
-        # run all steps inside ONE jitted lax.scan: a single dispatch, so
-        # host↔device dispatch latency (large through remote TPU tunnels)
-        # does not pollute the device-rate measurement
-        import jax.numpy as jnp
+    def one_step(state):
+        grad_fn = jax.value_and_grad(module._batch_loss, has_aux=True)
+        (loss, _), grads = grad_fn(
+            state.params, inputs, forcing, outputs, batch.num_pred_steps,
+            rng, graph,
+        )
+        return state.apply_gradients(grads=grads), loss
 
+    # cost analysis of ONE step for the MFU estimate
+    t0 = time.perf_counter()
+    compiled_one = jax.jit(one_step).lower(state).compile()
+    compile_s_step = time.perf_counter() - t0
+    ca = compiled_one.cost_analysis()
+    if isinstance(ca, list):
+        ca = ca[0]
+    flops_per_step = float(ca.get("flops", 0.0))
+    bytes_per_step = float(ca.get("bytes accessed", 0.0))
+
+    if mode == "scan":
         def scan_steps(state, n):
-            grad_fn = jax.value_and_grad(module._batch_loss, has_aux=True)
-
             def body(carry, _):
-                (loss, _), grads = grad_fn(
-                    carry.params, inputs, forcing, outputs,
-                    batch.num_pred_steps, rng, graph,
-                )
-                return carry.apply_gradients(grads=grads), loss
+                return one_step(carry)
 
             return jax.lax.scan(body, state, None, length=n)
 
-        run = jax.jit(scan_steps, static_argnums=(1,))
-        state, losses = run(state, n_steps)  # warmup compiles THIS length
+        t0 = time.perf_counter()
+        run = jax.jit(scan_steps, static_argnums=(1,)).lower(state, n_steps).compile()
+        compile_s = time.perf_counter() - t0
+        state2, losses = run(state)  # warm the data path
         float(jnp.sum(losses))
         t0 = time.perf_counter()
-        state, losses = run(state, n_steps)
+        state2, losses = run(state)
         total = float(jnp.sum(losses))  # value transfer forces execution
         dt = time.perf_counter() - t0
-        assert total == total
+        assert total == total, "loss is NaN"
     else:
-        # dispatch-per-step loop (includes host dispatch latency)
+        compile_s = compile_s_step
         for _ in range(3):
-            state, loss = step_fn(state, inputs, forcing, outputs, rng, graph)
+            state, loss = compiled_one(state)
         float(loss)
         t0 = time.perf_counter()
         for _ in range(n_steps):
-            state, loss = step_fn(state, inputs, forcing, outputs, rng, graph)
-        float(loss)  # value transfer forces completion (block_until_ready
-        # is unreliable through remote TPU tunnels)
+            state, loss = compiled_one(state)
+        float(loss)
         dt = time.perf_counter() - t0
 
     sps = n_steps * batch_size / dt
-    print(
-        json.dumps(
-            {
-                "metric": (
-                    f"{model.lower()}_{grid[0]}x{grid[1]}"
-                    f"_train_samples_per_sec_per_chip"
-                ),
-                "value": round(sps, 3),
-                "unit": "samples/s",
-                "vs_baseline": round(sps / BASELINE_SAMPLES_PER_SEC, 2),
-            }
-        )
-    )
+    step_s = dt / n_steps
+    mfu = flops_per_step / step_s / peak_flops()
+    return {
+        "metric": (
+            f"{model.lower()}_{grid[0]}x{grid[1]}"
+            f"_train_samples_per_sec_per_chip"
+        ),
+        "value": round(sps, 3),
+        "unit": "samples/s",
+        "vs_baseline": round(sps / BASELINE_SAMPLES_PER_SEC, 2),
+        "mfu": round(mfu, 4),
+        "flops_per_step_G": round(flops_per_step / 1e9, 1),
+        "hbm_bytes_per_step_GB": round(bytes_per_step / 1e9, 2),
+        "compile_seconds": round(compile_s, 1),
+        "batch_size": batch_size,
+    }
+
+
+def main():
+    batch_size = int(os.environ.get("BENCH_BATCH", "1"))
+    n_steps = int(os.environ.get("BENCH_STEPS", "20"))
+    precision = os.environ.get("BENCH_PRECISION", "bf16")
+    mode = os.environ.get("BENCH_MODE", "scan")
+    only = os.environ.get("BENCH_MODEL")
+
+    models = [only] if only else list(CONFIGS)
+    results = {}
+    for model in models:
+        r = bench_model(model, batch_size, n_steps, precision, mode)
+        results[model] = r
+        print(json.dumps(r), flush=True)
+
+    # headline: like-for-like HiLAM vs the reference HiLAM baseline
+    head = results.get(HEADLINE_MODEL, results[models[-1]])
+    headline = dict(head)
+    headline["models"] = {
+        m: {k: r[k] for k in ("value", "vs_baseline", "mfu", "compile_seconds")}
+        for m, r in results.items()
+    }
+    print(json.dumps(headline), flush=True)
 
 
 if __name__ == "__main__":

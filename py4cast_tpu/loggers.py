@@ -73,6 +73,12 @@ class MLFlowLogger:
     def log_figure(self, tag: str, fig, step: int):
         self._mlflow.log_figure(fig, f"figures/{tag.replace('/', '_')}_{step}.png")
 
+    def log_artifacts(self, local_dir, artifact_path: str = "model"):
+        """Model-artifact logging at fit end (reference:
+        lightning.py:841-858, mlflow model logging with inferred
+        signature)."""
+        self._mlflow.log_artifacts(str(local_dir), artifact_path=artifact_path)
+
     def close(self):
         self._mlflow.end_run()
 

@@ -777,7 +777,89 @@ class Trainer:
         if profile_dir is not None:
             jax.profiler.stop_trace()
             print(f"Profiler trace written to {profile_dir}")
+        if not cfg.fast_dev_run:
+            self._log_model(module, state)
         return state
+
+    def _log_model(self, module: AutoRegressiveModule, state):
+        """Export the trained model as a self-describing artifact with an
+        INFERRED input/output signature at fit end — the analog of the
+        reference's MLflow model logging with infer_signature
+        (reference: lightning.py:841-858). Writes signature.json (+ a
+        StableHLO forward for grid models) under <save_path>/model and
+        pushes the directory to any logger exposing ``log_artifacts``
+        (MLflow)."""
+        out_dir = self.save_path / "model"
+        out_dir.mkdir(parents=True, exist_ok=True)
+        num_pred_steps = module.settings.num_pred_steps_val_test
+        h, w = module.dataset_info.statics.grid_shape
+        spatial = (h * w,) if module.is_graph else (h, w)
+        n_in = module.settings.num_input_steps
+        inputs_spec = jax.ShapeDtypeStruct(
+            (1, n_in) + spatial + (module.num_output_features,), jnp.float32
+        )
+        forcing_spec = jax.ShapeDtypeStruct(
+            (1, num_pred_steps) + spatial + (module.dataset_info.forcing_dim,),
+            jnp.float32,
+        )
+
+        def predict(params, inputs, forcing):
+            preds = module._rollout(
+                params, inputs, forcing, None, num_pred_steps,
+                jax.random.key(0), module._graph_buffers,
+            )
+            return preds * module.stats_std + module.stats_mean
+
+        out_spec = jax.eval_shape(
+            predict, state.params, inputs_spec, forcing_spec
+        )
+        spatial_names = ["ngrid"] if module.is_graph else ["lat", "lon"]
+        signature = {
+            "inputs": {
+                "prev_states": {
+                    "shape": list(inputs_spec.shape),
+                    "dtype": str(inputs_spec.dtype),
+                    "dims": ["batch", "timestep", *spatial_names, "features"],
+                    "feature_names": list(module.output_feature_names),
+                },
+                "forcing": {
+                    "shape": list(forcing_spec.shape),
+                    "dtype": str(forcing_spec.dtype),
+                    "dims": ["batch", "timestep", *spatial_names, "features"],
+                    "feature_names": list(module.forcing_feature_names),
+                },
+            },
+            "outputs": {
+                "prediction": {
+                    "shape": list(out_spec.shape),
+                    "dtype": str(out_spec.dtype),
+                    "dims": ["batch", "timestep", *spatial_names, "features"],
+                    "feature_names": list(module.output_feature_names),
+                    "denormalized": True,
+                }
+            },
+            "model_name": module.settings.model_name,
+            "num_params": module.num_params(state),
+        }
+        with open(out_dir / "signature.json", "w") as f:
+            json.dump(signature, f, indent=1)
+        if not module.is_graph:
+            try:
+                from py4cast_tpu.export import export_forward
+
+                # state.params is already the full variables dict
+                # ({"params": ...}) as returned by model.init
+                export_forward(
+                    module.model,
+                    jax.device_get(state.params),
+                    module.model.input_shape,
+                    out_dir / "forward.stablehlo",
+                )
+            except Exception as e:  # noqa: BLE001 — export is best-effort
+                print(f"StableHLO export skipped: {e}")
+        for lg in self.loggers:
+            if hasattr(lg, "log_artifacts"):
+                lg.log_artifacts(out_dir)
 
     def _dump_run_info(self, module: AutoRegressiveModule):
         """Dump git commit/status + run summary to the run dir for

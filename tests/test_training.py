@@ -86,6 +86,35 @@ def test_checkpoint_manifest_self_describing(datasets, tmp_path):
     assert "stats" in manifest and "diff_stats" in manifest
 
 
+def test_fit_exports_model_signature(datasets, tmp_path):
+    """Fit end writes a self-describing model artifact with an inferred
+    signature + StableHLO forward (reference: mlflow model logging,
+    lightning.py:841-858)."""
+    import json
+
+    train_ds, val_ds, _ = datasets
+    st = TrainingSettings(
+        model_name="HalfUNet",
+        settings_init_args={"num_filters": 8, "depth": 2},
+        num_warmup_steps=2,
+    )
+    m = AutoRegressiveModule(st, train_ds.dataset_info)
+    tr = Trainer(TrainerConfig(
+        max_epochs=1, batch_size=8, limit_train_batches=1,
+        limit_val_batches=1, save_path=str(tmp_path / "sig"),
+        logging_enabled=False,
+    ))
+    tr.fit(m, train_ds, val_ds)
+    sig_path = tmp_path / "sig" / "model" / "signature.json"
+    assert sig_path.exists()
+    sig = json.loads(sig_path.read_text())
+    assert sig["inputs"]["prev_states"]["feature_names"] == list(
+        train_ds.dataset_info.output_feature_names
+    )
+    assert sig["outputs"]["prediction"]["shape"][1] == 1  # pred steps
+    assert (tmp_path / "sig" / "model" / "forward.stablehlo").exists()
+
+
 def test_fast_dev_run(datasets, tmp_path):
     train_ds, val_ds, _ = datasets
     module = AutoRegressiveModule(_settings(), train_ds.dataset_info)
