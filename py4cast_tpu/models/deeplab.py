@@ -29,7 +29,9 @@ from py4cast_tpu.models.unet import ResNetEncoder, _bilinear_resize, _gn
 class DeepLabSettings:
     encoder_name: str = "resnet18"
     encoder_depth: int = 5
-    encoder_weights: bool = False  # pretrained weights unavailable offline
+    # False | True | npz path — see py4cast_tpu/models/pretrained.py
+    encoder_weights: object = False
+    encoder_norm: str = "group"
     decoder_channels: int = 256
     activation: Optional[str] = None
     upsampling: int = 8
@@ -76,11 +78,21 @@ class DeepLabV3(ModelBase):
     model_type = ModelType.CONVOLUTIONAL
     register = True
 
+    def load_pretrained(self, variables):
+        from py4cast_tpu.models.pretrained import maybe_load_encoder
+
+        return maybe_load_encoder(
+            variables, self.settings, self.num_input_features
+        )
+
     @nn.compact
     def __call__(self, x, deterministic: bool = True):
         s = self.settings
         x, hw = pad_to_multiple(x, 2**s.encoder_depth)
-        feats = ResNetEncoder(s.encoder_name, s.encoder_depth)(x)
+        feats = ResNetEncoder(
+            s.encoder_name, s.encoder_depth, norm=s.encoder_norm,
+            name="encoder",
+        )(x)
         y = ASPP(s.decoder_channels, s.atrous_rates)(feats[-1])
         y = nn.Conv(self.num_output_features, (1, 1))(y)
         y = _bilinear_resize(y, x.shape[1], x.shape[2])
@@ -97,11 +109,21 @@ class DeepLabV3Plus(ModelBase):
     model_type = ModelType.CONVOLUTIONAL
     register = True
 
+    def load_pretrained(self, variables):
+        from py4cast_tpu.models.pretrained import maybe_load_encoder
+
+        return maybe_load_encoder(
+            variables, self.settings, self.num_input_features
+        )
+
     @nn.compact
     def __call__(self, x, deterministic: bool = True):
         s = self.settings
         x, hw = pad_to_multiple(x, 2**s.encoder_depth)
-        feats = ResNetEncoder(s.encoder_name, s.encoder_depth)(x)
+        feats = ResNetEncoder(
+            s.encoder_name, s.encoder_depth, norm=s.encoder_norm,
+            name="encoder",
+        )(x)
         y = ASPP(s.decoder_channels, s.atrous_rates)(feats[-1])
 
         low = feats[1]  # stride-4 feature map

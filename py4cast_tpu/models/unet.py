@@ -214,28 +214,61 @@ class HalfUNet(ModelBase):
 class CustomUNetSettings:
     encoder_name: str = "resnet18"
     encoder_depth: int = 5
-    encoder_weights: bool = False  # pretrained weights unavailable offline
+    # False: random init. True: load the default pretrained npz
+    # (<ROOTDIR>/pretrained/<encoder_name>.npz). A string is an explicit
+    # npz path. Produce the npz with bin/convert_torchvision_encoder.py
+    # (ImageNet weights) or bin/pretrain_encoder.py (offline
+    # self-supervised) — reference default: encoder_weights: imagenet
+    # (config/CLI/model/customunet.yaml).
+    encoder_weights: object = False
+    # "group" (GroupNorm) or "affine" (frozen-BN: per-channel scale/bias,
+    # eval-exact for converted torchvision encoders)
+    encoder_norm: str = "group"
     autopad_enabled: bool = True
     decoder_channels: Tuple[int, ...] = (256, 128, 64, 32, 16)
+
+
+class AffineNorm(nn.Module):
+    """Per-channel scale + bias — a BatchNorm with folded running stats
+    ('frozen BN'), matching torchvision encoders in eval mode exactly
+    while staying batch-independent (TPU-friendly, no cross-batch state)."""
+
+    features: int
+
+    @nn.compact
+    def __call__(self, x):
+        scale = self.param("scale", nn.initializers.ones, (self.features,))
+        bias = self.param("bias", nn.initializers.zeros, (self.features,))
+        return x * scale + bias
+
+
+def _enc_norm(kind: str, features: int, name: str):
+    if kind == "affine":
+        return AffineNorm(features, name=name)
+    return _gn(features, name=name)
 
 
 class ResNetBlock(nn.Module):
     features: int
     strides: Tuple[int, int] = (1, 1)
+    norm: str = "group"
 
     @nn.compact
     def __call__(self, x):
         residual = x
-        y = nn.Conv(self.features, (3, 3), strides=self.strides, padding="SAME")(x)
-        y = _gn(self.features)(y)
+        # symmetric (1,1) padding (not XLA SAME, which pads (0,1) at
+        # stride 2) so converted torchvision weights are eval-exact
+        y = nn.Conv(self.features, (3, 3), strides=self.strides,
+                    padding=((1, 1), (1, 1)), name="conv1")(x)
+        y = _enc_norm(self.norm, self.features, "norm1")(y)
         y = nn.relu(y)
-        y = nn.Conv(self.features, (3, 3), padding="SAME")(y)
-        y = _gn(self.features)(y)
+        y = nn.Conv(self.features, (3, 3), padding="SAME", name="conv2")(y)
+        y = _enc_norm(self.norm, self.features, "norm2")(y)
         if residual.shape != y.shape:
             residual = nn.Conv(
                 self.features, (1, 1), strides=self.strides, name="proj"
             )(x)
-            residual = _gn(self.features)(residual)
+            residual = _enc_norm(self.norm, self.features, "proj_norm")(residual)
         return nn.relu(y + residual)
 
 
@@ -247,10 +280,14 @@ _RESNET_STAGES = {
 
 
 class ResNetEncoder(nn.Module):
-    """ResNet-18/34-style encoder returning one feature map per depth level."""
+    """ResNet-18/34-style encoder returning one feature map per depth
+    level. Submodules carry stable names (stem_conv, stage{s}_block{b})
+    so pretrained npz checkpoints map deterministically
+    (py4cast_tpu/models/pretrained.py)."""
 
     encoder_name: str = "resnet18"
     depth: int = 5
+    norm: str = "group"
 
     @nn.compact
     def __call__(self, x):
@@ -261,17 +298,22 @@ class ResNetEncoder(nn.Module):
             )
         blocks, width = _RESNET_STAGES[self.encoder_name]
         feats = []
-        # stem: /2
-        x = nn.Conv(width, (7, 7), strides=(2, 2), padding="SAME")(x)
-        x = _gn(width)(x)
+        # stem: /2 — torch-convention symmetric padding, so converted
+        # torchvision checkpoints reproduce eval outputs exactly
+        x = nn.Conv(width, (7, 7), strides=(2, 2),
+                    padding=((3, 3), (3, 3)), name="stem_conv")(x)
+        x = _enc_norm(self.norm, width, "stem_norm")(x)
         x = nn.relu(x)
         feats.append(x)
-        x = nn.max_pool(x, (3, 3), strides=(2, 2), padding="SAME")
+        x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)))
         for stage, n_blocks in enumerate(blocks[: self.depth - 1]):
             f = width * 2**stage
             for b in range(n_blocks):
                 strides = (2, 2) if (b == 0 and stage > 0) else (1, 1)
-                x = ResNetBlock(f, strides=strides)(x)
+                x = ResNetBlock(
+                    f, strides=strides, norm=self.norm,
+                    name=f"stage{stage}_block{b}",
+                )(x)
             feats.append(x)
         return feats
 
@@ -286,12 +328,24 @@ class CustomUNet(ModelBase):
     model_type = ModelType.CONVOLUTIONAL
     register = True
 
+    def load_pretrained(self, variables):
+        """Inject pretrained encoder weights per settings.encoder_weights
+        (called by the training layer after init)."""
+        from py4cast_tpu.models.pretrained import maybe_load_encoder
+
+        return maybe_load_encoder(
+            variables, self.settings, self.num_input_features
+        )
+
     @nn.compact
     def __call__(self, x, deterministic: bool = True):
         s = self.settings
         if s.autopad_enabled:
             x, hw = pad_to_multiple(x, 2**s.encoder_depth)
-        feats = ResNetEncoder(s.encoder_name, s.encoder_depth)(x)
+        feats = ResNetEncoder(
+            s.encoder_name, s.encoder_depth, norm=s.encoder_norm,
+            name="encoder",
+        )(x)
         y = feats[-1]
         dec = s.decoder_channels[: len(feats)]
         skips = feats[:-1][::-1]  # deepest-first

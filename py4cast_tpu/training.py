@@ -243,7 +243,12 @@ class AutoRegressiveModule:
         spatial = self.model.input_shape
         x = jnp.zeros((1,) + spatial + (self.num_input_features,), jnp.float32)
         self._graph_buffers = {}
-        return self.model.init(rng, x)
+        variables = self.model.init(rng, x)
+        if hasattr(self.model, "load_pretrained"):
+            # pretrained encoder injection (reference: encoder_weights,
+            # config/CLI/model/customunet.yaml)
+            variables = self.model.load_pretrained(variables)
+        return variables
 
     def make_optimizer(self, num_training_steps: int) -> optax.GradientTransformation:
         """AdamW + warmup-cosine-with-min-lr (reference: lightning.py:442-467).

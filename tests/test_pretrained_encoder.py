@@ -1,0 +1,226 @@
+"""Pretrained-encoder capability (reference: CustomUNet/DeepLab
+`encoder_weights` default, config/CLI/model/customunet.yaml).
+
+Covers the whole chain without network access:
+- torchvision-checkpoint conversion (BN folded to affine) is EVAL-EXACT:
+  the Flax encoder loaded with converted weights reproduces a torch
+  resnet18 forward on the same random weights,
+- the offline self-supervised pretrainer produces loadable weights,
+- error handling (missing file, norm-kind mismatch).
+"""
+
+import importlib.util
+import sys
+from pathlib import Path
+
+import numpy as np
+import pytest
+import torch
+import torch.nn.functional as F
+
+import jax
+import jax.numpy as jnp
+
+REPO = Path(__file__).resolve().parent.parent
+
+
+def _load_script(name):
+    spec = importlib.util.spec_from_file_location(name, REPO / "bin" / f"{name}.py")
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+# ---------------------------------------------------------------------------
+# a synthetic torchvision-format resnet18 state_dict (random weights +
+# nontrivial BN running stats) and its eval-mode forward
+# ---------------------------------------------------------------------------
+
+def _bn_params(g, c):
+    return {
+        "weight": torch.tensor(g.uniform(0.5, 1.5, c), dtype=torch.float32),
+        "bias": torch.tensor(g.normal(0, 0.1, c), dtype=torch.float32),
+        "running_mean": torch.tensor(g.normal(0, 0.5, c), dtype=torch.float32),
+        "running_var": torch.tensor(g.uniform(0.5, 2.0, c), dtype=torch.float32),
+    }
+
+
+def make_torch_resnet18_state_dict(seed=0):
+    g = np.random.default_rng(seed)
+    sd = {}
+
+    def conv(key, o, i, k):
+        sd[f"{key}.weight"] = torch.tensor(
+            (g.standard_normal((o, i, k, k)) / np.sqrt(i * k * k)),
+            dtype=torch.float32,
+        )
+
+    def bn(key, c):
+        for n, v in _bn_params(g, c).items():
+            sd[f"{key}.{n}"] = v
+
+    conv("conv1", 64, 3, 7)
+    bn("bn1", 64)
+    widths = [64, 128, 256, 512]
+    for stage in range(4):
+        w = widths[stage]
+        w_in = widths[max(stage - 1, 0)]
+        for b in range(2):
+            t = f"layer{stage + 1}.{b}"
+            cin = w_in if b == 0 else w
+            conv(f"{t}.conv1", w, cin, 3)
+            bn(f"{t}.bn1", w)
+            conv(f"{t}.conv2", w, w, 3)
+            bn(f"{t}.bn2", w)
+            if b == 0 and stage > 0:
+                conv(f"{t}.downsample.0", w, cin, 1)
+                bn(f"{t}.downsample.1", w)
+    return sd
+
+
+def torch_resnet18_forward(sd, x):
+    """Eval-mode resnet18 feature extractor from the raw state_dict."""
+
+    def bn(x, p):
+        return F.batch_norm(
+            x, sd[f"{p}.running_mean"], sd[f"{p}.running_var"],
+            sd[f"{p}.weight"], sd[f"{p}.bias"], training=False, eps=1e-5,
+        )
+
+    feats = []
+    y = F.conv2d(x, sd["conv1.weight"], stride=2, padding=3)
+    y = F.relu(bn(y, "bn1"))
+    feats.append(y)
+    y = F.max_pool2d(y, 3, stride=2, padding=1)
+    for stage in range(4):
+        for b in range(2):
+            t = f"layer{stage + 1}.{b}"
+            stride = 2 if (b == 0 and stage > 0) else 1
+            r = y
+            z = F.conv2d(y, sd[f"{t}.conv1.weight"], stride=stride, padding=1)
+            z = F.relu(bn(z, f"{t}.bn1"))
+            z = F.conv2d(z, sd[f"{t}.conv2.weight"], padding=1)
+            z = bn(z, f"{t}.bn2")
+            if f"{t}.downsample.0.weight" in sd:
+                r = bn(
+                    F.conv2d(y, sd[f"{t}.downsample.0.weight"], stride=stride),
+                    f"{t}.downsample.1",
+                )
+            y = F.relu(z + r)
+        feats.append(y)
+    return feats
+
+
+@pytest.fixture(scope="module")
+def converted_npz(tmp_path_factory):
+    conv = _load_script("convert_torchvision_encoder")
+    sd = make_torch_resnet18_state_dict()
+    flat = conv.convert(sd, "resnet18")
+    from py4cast_tpu.models.pretrained import save_encoder_npz
+
+    out = tmp_path_factory.mktemp("enc") / "resnet18.npz"
+    save_encoder_npz(
+        out, flat, {"encoder_name": "resnet18", "norm": "affine",
+                    "in_channels": 3, "source": "test"},
+    )
+    return out, sd
+
+
+def test_converted_encoder_matches_torch_eval(converted_npz):
+    """The converted Flax encoder reproduces torch eval outputs —
+    the evidence that real ImageNet checkpoints convert correctly."""
+    out, sd = converted_npz
+    from flax import traverse_util
+
+    from py4cast_tpu.models.pretrained import load_encoder_npz
+    from py4cast_tpu.models.unet import ResNetEncoder
+
+    enc = ResNetEncoder("resnet18", 5, norm="affine")
+    x = np.random.default_rng(1).standard_normal((1, 64, 64, 3)).astype(
+        np.float32
+    )
+    variables = enc.init(jax.random.key(0), jnp.asarray(x))
+    flat_model = traverse_util.flatten_dict(variables["params"], sep="/")
+    flat_npz, _ = load_encoder_npz(out)
+    for k, v in flat_npz.items():
+        assert k in flat_model, k
+        flat_model[k] = jnp.asarray(v)
+    variables = {"params": traverse_util.unflatten_dict(flat_model, sep="/")}
+    feats = enc.apply(variables, jnp.asarray(x))
+
+    with torch.no_grad():
+        t_feats = torch_resnet18_forward(
+            sd, torch.tensor(np.moveaxis(x, -1, 1))
+        )
+    assert len(feats) == len(t_feats)
+    for f_jax, f_t in zip(feats, t_feats):
+        np.testing.assert_allclose(
+            np.asarray(f_jax),
+            np.moveaxis(f_t.numpy(), 1, -1),
+            rtol=1e-4, atol=1e-4,
+        )
+
+
+def test_custom_unet_loads_pretrained_encoder(converted_npz, tmp_path):
+    out, _ = converted_npz
+    from py4cast_tpu.models import build_model_from_settings, settings_from_dict
+    from py4cast_tpu.models.unet import CustomUNet
+
+    settings = settings_from_dict(
+        CustomUNet.settings_kls,
+        {"encoder_weights": str(out), "encoder_norm": "affine",
+         "encoder_depth": 3, "decoder_channels": (16, 8)},
+    )
+    model = build_model_from_settings("CustomUNet", 5, 3, settings, (32, 32))
+    x = jnp.zeros((1, 32, 32, 5))
+    fresh = model.init(jax.random.key(0), x)
+    loaded = model.load_pretrained(fresh)
+    stem_fresh = fresh["params"]["encoder"]["stem_conv"]["kernel"]
+    stem_loaded = loaded["params"]["encoder"]["stem_conv"]["kernel"]
+    assert stem_loaded.shape == stem_fresh.shape  # adapted to 5 channels
+    assert not np.allclose(np.asarray(stem_fresh), np.asarray(stem_loaded))
+    y = model.apply(loaded, x)
+    assert np.isfinite(np.asarray(y)).all()
+
+
+def test_pretrainer_produces_loadable_weights(tmp_path):
+    pre = _load_script("pretrain_encoder")
+    out = tmp_path / "resnet18.npz"
+    assert pre.main(["--steps", "2", "--batch", "2", "--size", "32",
+                     "--out", str(out)]) == 0
+    from py4cast_tpu.models import build_model_from_settings, settings_from_dict
+    from py4cast_tpu.models.unet import CustomUNet
+
+    settings = settings_from_dict(
+        CustomUNet.settings_kls,
+        {"encoder_weights": str(out), "encoder_depth": 3,
+         "decoder_channels": (16, 8)},
+    )
+    model = build_model_from_settings("CustomUNet", 4, 2, settings, (32, 32))
+    x = jnp.zeros((1, 32, 32, 4))
+    loaded = model.load_pretrained(model.init(jax.random.key(0), x))
+    assert np.isfinite(np.asarray(model.apply(loaded, x))).all()
+
+
+def test_pretrained_error_handling(converted_npz, tmp_path):
+    out, _ = converted_npz
+    from py4cast_tpu.models import build_model_from_settings, settings_from_dict
+    from py4cast_tpu.models.unet import CustomUNet
+
+    # missing file
+    settings = settings_from_dict(
+        CustomUNet.settings_kls, {"encoder_weights": str(tmp_path / "no.npz")}
+    )
+    model = build_model_from_settings("CustomUNet", 3, 2, settings, (32, 32))
+    x = jnp.zeros((1, 32, 32, 3))
+    with pytest.raises(FileNotFoundError, match="convert_torchvision"):
+        model.load_pretrained(model.init(jax.random.key(0), x))
+
+    # norm-kind mismatch: affine npz into a group-norm encoder
+    settings = settings_from_dict(
+        CustomUNet.settings_kls,
+        {"encoder_weights": str(out), "encoder_norm": "group"},
+    )
+    model = build_model_from_settings("CustomUNet", 3, 2, settings, (32, 32))
+    with pytest.raises(ValueError, match="norm"):
+        model.load_pretrained(model.init(jax.random.key(0), x))
