@@ -131,6 +131,35 @@ class EPABlock(nn.Module):
         return y + z
 
 
+class _EPAScanStep(nn.Module):
+    """One scanned EPA block: a stage's ``depths[i]`` repeats compile as
+    ONE block body over stacked per-layer params (nn.scan) instead of
+    statically unrolling — the compile-time lever for deep configs
+    (depths (3,3,3,3) unrolled took >10 min to compile on TPU)."""
+
+    dim: int
+    heads: int
+    proj_size: int
+
+    @nn.compact
+    def __call__(self, carry, _):
+        y = EPABlock(self.dim, self.heads, self.proj_size, name="block")(carry)
+        return y, None
+
+
+def _epa_stage(h, depth: int, dim: int, heads: int, proj_size: int, name: str):
+    if depth <= 1:
+        return EPABlock(dim, heads, proj_size, name=name)(h)
+    scan = nn.scan(
+        _EPAScanStep,
+        variable_axes={"params": 0},
+        split_rngs={"params": True},
+        length=depth,
+    )(dim=dim, heads=heads, proj_size=proj_size, name=name)
+    h, _ = scan(h, None)
+    return h
+
+
 class UNetRPP(ModelBase):
     settings: UNetRPPSettings = UNetRPPSettings()
 
@@ -157,8 +186,10 @@ class UNetRPP(ModelBase):
             h = nn.Dense(dims[0])(h)
         skips = []
         for i in range(n_stages):
-            for _ in range(s.depths[i]):
-                h = EPABlock(dims[i], s.num_heads_encoder, s.encoder_proj_sizes[i])(h)
+            h = _epa_stage(
+                h, s.depths[i], dims[i], s.num_heads_encoder,
+                s.encoder_proj_sizes[i], name=f"enc_stage{i}",
+            )
             skips.append(h)
             if i < n_stages - 1:
                 h = nn.Conv(dims[i + 1], (2, 2), strides=(2, 2))(h)
