@@ -41,6 +41,12 @@ class GraphModelSettings:
     processor_layers: int = 4
     mesh_levels: int = 3
     coarsen_factor: int = 4
+    #: run message passing as dense lattice ops (stencils + separable
+    #: selection matmuls, ops/lattice_ops.py) instead of gather tables —
+    #: numerically equivalent on the lattice graphs this builder makes,
+    #: ~10× faster to compile and step on TPU. Param trees are identical
+    #: between the two paths (tested), so checkpoints interchange.
+    use_lattice: bool = True
 
 
 class EdgeSet:
@@ -70,6 +76,10 @@ class GraphArtifacts:
         g2m: EdgeSet,
         m2g: EdgeSet,
         multi: Optional[EdgeSet] = None,
+        grid_hw: Optional[Tuple[int, int]] = None,
+        level_hw: Optional[List[Tuple[int, int]]] = None,
+        lattice_np: Optional[dict] = None,
+        multi_lattice_ok: bool = False,
     ):
         self.n_grid = n_grid
         self.mesh_pos = mesh_pos  # per-level (Nl, 2) normalized positions
@@ -85,6 +95,16 @@ class GraphArtifacts:
         offs = np.cumsum([0] + self.level_sizes)
         self.level_offsets = offs
         self.n_mesh = int(offs[-1])
+        # --- lattice fast-path metadata (ops/lattice_ops.py): present iff
+        # the graph was built as regular lattice coarsenings, in which
+        # case every edge op has a dense stencil/separable form
+        self.grid_hw = grid_hw
+        self.level_hw = level_hw
+        self.lattice_np = lattice_np
+        self.lattice = lattice_np is not None
+        # equivalence of the lattice multimesh requires the union edge
+        # set to be dedup-free (only fails on degenerate tiny lattices)
+        self.multi_lattice_ok = multi_lattice_ok
 
     def __hash__(self):
         return id(self)
@@ -123,23 +143,33 @@ def _neighbors8(h: int, w: int) -> Tuple[np.ndarray, np.ndarray]:
     return np.concatenate(src), np.concatenate(dst)
 
 
+def _nearest_rc(
+    fine_hw: Tuple[int, int], coarse_hw: Tuple[int, int]
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Per-axis nearest-coarse-index maps — the separable core of the
+    nearest-node mapping on regular linspace lattices."""
+    fh, fw = fine_hw
+    ch, cw = coarse_hw
+    ri = np.rint(np.arange(fh) * (ch - 1) / max(fh - 1, 1)).astype(int)
+    ci = np.rint(np.arange(fw) * (cw - 1) / max(fw - 1, 1)).astype(int)
+    return ri, ci
+
+
 def _nearest_on_lattice(
     fine_hw: Tuple[int, int], coarse_hw: Tuple[int, int]
 ) -> np.ndarray:
     """Nearest coarse-lattice node per fine node, by index arithmetic —
     O(N) instead of an O(N·M) distance matrix (full Titan grids have
     ~330k nodes). Both lattices are regular linspace subsamplings."""
-    fh, fw = fine_hw
-    ch, cw = coarse_hw
-    ri = np.rint(np.arange(fh) * (ch - 1) / max(fh - 1, 1)).astype(int)
-    ci = np.rint(np.arange(fw) * (cw - 1) / max(fw - 1, 1)).astype(int)
-    return (ri[:, None] * cw + ci[None, :]).ravel()
+    ri, ci = _nearest_rc(fine_hw, coarse_hw)
+    return (ri[:, None] * coarse_hw[1] + ci[None, :]).ravel()
 
 
-def _surrounding4_on_lattice(
+def _corners_rc(
     fine_hw: Tuple[int, int], coarse_hw: Tuple[int, int]
-) -> np.ndarray:
-    """The 4 surrounding coarse-lattice nodes per fine node: (Nf, 4)."""
+) -> Tuple[Tuple[np.ndarray, np.ndarray], Tuple[np.ndarray, np.ndarray]]:
+    """Per-axis floor/ceil coarse-index maps for the surrounding-4
+    (bilinear-style) mapping."""
     fh, fw = fine_hw
     ch, cw = coarse_hw
     r = np.arange(fh) * (ch - 1) / max(fh - 1, 1)
@@ -148,6 +178,15 @@ def _surrounding4_on_lattice(
     r1 = np.clip(r0 + 1, 0, ch - 1)
     c0 = np.clip(np.floor(c).astype(int), 0, cw - 1)
     c1 = np.clip(c0 + 1, 0, cw - 1)
+    return (r0, r1), (c0, c1)
+
+
+def _surrounding4_on_lattice(
+    fine_hw: Tuple[int, int], coarse_hw: Tuple[int, int]
+) -> np.ndarray:
+    """The 4 surrounding coarse-lattice nodes per fine node: (Nf, 4)."""
+    cw = coarse_hw[1]
+    (r0, r1), (c0, c1) = _corners_rc(fine_hw, coarse_hw)
     out = np.stack(
         [
             (r0[:, None] * cw + c0[None, :]),
@@ -243,11 +282,116 @@ def build_graph_artifacts(
     # dedupe edges shared between levels (level-l edges ⊄ level-(l+1)'s,
     # but endpoints can coincide at tiny sizes)
     key = msrc.astype(np.int64) * len(m0) + mdst
-    _, uniq = np.unique(key, return_index=True)
+    uniq_keys, uniq = np.unique(key, return_index=True)
+    multi_lattice_ok = len(uniq_keys) == len(key)
     msrc, mdst = msrc[uniq], mdst[uniq]
     multi = EdgeSet(msrc, mdst, _edge_feats(m0[msrc], m0[mdst]))
 
-    return GraphArtifacts(len(pos), mesh_pos, intra, up, down, g2m, m2g, multi)
+    lat = _build_lattice_meta(
+        pos, (h, w), mesh_pos, level_hw, row_in0, col_in0, settings
+    )
+    return GraphArtifacts(
+        len(pos), mesh_pos, intra, up, down, g2m, m2g, multi,
+        grid_hw=(h, w), level_hw=level_hw, lattice_np=lat,
+        multi_lattice_ok=multi_lattice_ok,
+    )
+
+
+def _build_lattice_meta(
+    pos: np.ndarray,
+    grid_hw: Tuple[int, int],
+    mesh_pos: List[np.ndarray],
+    level_hw: List[Tuple[int, int]],
+    row_in0: List[np.ndarray],
+    col_in0: List[np.ndarray],
+    settings: GraphModelSettings,
+) -> dict:
+    """Dense lattice metadata for the scatter/gather-free message-passing
+    path (ops/lattice_ops.py). Everything here is exactly the same edge
+    data as the EdgeSet tables, re-expressed in separable lattice form:
+    per-direction stencil features + masks (intra/multimesh), per-axis
+    index maps + 0/1 selection matrices (g2m/m2g/up/down)."""
+    from py4cast_tpu.ops.lattice_ops import (
+        pair_feats, sel_matrix, stencil_feats,
+    )
+
+    h, w = grid_hw
+    lat: dict = {}
+
+    # --- intra-level 8-neighbor stencils
+    for lev, ((lh, lw), p) in enumerate(zip(level_hw, mesh_pos)):
+        feats, mask, _ = stencil_feats(p.reshape(lh, lw, 2))
+        lat[f"lat_intra_{lev}_feats"] = feats
+        lat[f"lat_intra_{lev}_mask"] = mask
+        lat[f"lat_intra_{lev}_count"] = mask.sum(axis=0)
+
+    # --- up (fine→coarse nearest) / down (reverse): separable maps
+    for lev in range(settings.mesh_levels - 1):
+        fhw, chw = level_hw[lev], level_hw[lev + 1]
+        ri, ci = _nearest_rc(fhw, chw)
+        fine = mesh_pos[lev].reshape(*fhw, 2)
+        coarse = mesh_pos[lev + 1].reshape(*chw, 2)
+        cg = coarse[ri][:, ci]  # coarse partner per fine cell
+        up_f, scale = pair_feats(fine, cg)
+        down_f, _ = pair_feats(cg, fine, scale)  # same lengths → same scale
+        a_r, a_c = sel_matrix(ri, chw[0]), sel_matrix(ci, chw[1])
+        count = (a_r.sum(1)[:, None] * a_c.sum(1)[None, :])[..., None]
+        lat[f"lat_up_{lev}_feats"] = up_f
+        lat[f"lat_up_{lev}_rows"] = ri.astype(np.int32)
+        lat[f"lat_up_{lev}_cols"] = ci.astype(np.int32)
+        lat[f"lat_up_{lev}_ar"] = a_r
+        lat[f"lat_up_{lev}_ac"] = a_c
+        lat[f"lat_up_{lev}_count"] = count.astype(np.float32)
+        lat[f"lat_down_{lev}_feats"] = down_f
+        lat[f"lat_down_{lev}_rows"] = ri.astype(np.int32)
+        lat[f"lat_down_{lev}_cols"] = ci.astype(np.int32)
+
+    # --- g2m: grid (fine) → mesh level 0 (coarse), nearest
+    hw0 = level_hw[0]
+    grid_lat = pos.reshape(h, w, 2)
+    m0_lat = mesh_pos[0].reshape(*hw0, 2)
+    ri, ci = _nearest_rc((h, w), hw0)
+    g2m_f, _ = pair_feats(grid_lat, m0_lat[ri][:, ci])
+    a_r, a_c = sel_matrix(ri, hw0[0]), sel_matrix(ci, hw0[1])
+    lat["lat_g2m_feats"] = g2m_f
+    lat["lat_g2m_rows"] = ri.astype(np.int32)
+    lat["lat_g2m_cols"] = ci.astype(np.int32)
+    lat["lat_g2m_ar"] = a_r
+    lat["lat_g2m_ac"] = a_c
+    lat["lat_g2m_count"] = (
+        a_r.sum(1)[:, None] * a_c.sum(1)[None, :]
+    )[..., None].astype(np.float32)
+
+    # --- m2g: mesh level 0 → grid, surrounding-4 corners
+    (r0, r1), (c0, c1) = _corners_rc((h, w), hw0)
+    src_pos = np.stack(
+        [m0_lat[rk][:, ck] for rk in (r0, r1) for ck in (c0, c1)]
+    )  # (4, h, w, 2) in the table path's corner order r0c0,r0c1,r1c0,r1c1
+    m2g_f, _ = pair_feats(src_pos, grid_lat[None])
+    lat["lat_m2g_feats"] = m2g_f
+    lat["lat_m2g_rows"] = np.stack([r0, r1]).astype(np.int32)
+    lat["lat_m2g_cols"] = np.stack([c0, c1]).astype(np.int32)
+
+    # --- multimesh: per-level dilated stencils on level-0 sub-lattices,
+    # sharing the union's feature normalization scale
+    union_scale = 0.0
+    for lev, ((lh, lw), p) in enumerate(zip(level_hw, mesh_pos)):
+        _, _, s = stencil_feats(p.reshape(lh, lw, 2))
+        union_scale = max(union_scale, s)
+    count0 = np.zeros(hw0 + (1,), dtype=np.float32)
+    for lev, ((lh, lw), p) in enumerate(zip(level_hw, mesh_pos)):
+        feats, mask, _ = stencil_feats(p.reshape(lh, lw, 2), union_scale)
+        lat[f"lat_multi_{lev}_feats"] = feats
+        lat[f"lat_multi_{lev}_mask"] = mask
+        rows, cols = row_in0[lev], col_in0[lev]
+        lat[f"lat_multi_{lev}_rows"] = rows.astype(np.int32)
+        lat[f"lat_multi_{lev}_cols"] = cols.astype(np.int32)
+        s_r, s_c = sel_matrix(rows, hw0[0]), sel_matrix(cols, hw0[1])
+        lat[f"lat_multi_{lev}_sr"] = s_r
+        lat[f"lat_multi_{lev}_sc"] = s_c
+        count0 += ((s_r @ mask.sum(axis=0)[..., 0]) @ s_c.T)[..., None]
+    lat["lat_multi_count"] = count0
+    return lat
 
 
 class MLP(nn.Module):
@@ -418,6 +562,184 @@ def _edge_dict(garr: dict, prefix: str) -> dict:
     }
 
 
+def _lat_dict(garr: dict, prefix: str) -> dict:
+    keys = ("feats", "mask", "count", "rows", "cols", "ar", "ac", "sr", "sc")
+    return {
+        k: garr[f"lat_{prefix}_{k}"]
+        for k in keys
+        if f"lat_{prefix}_{k}" in garr
+    }
+
+
+# =========================================================================
+# Lattice fast path: the same message-passing math as EdgeMessage /
+# InteractionNetwork / EncodeDecodeInteraction, re-expressed as dense
+# lattice ops (ops/lattice_ops.py) — stencil shifts, separable takes,
+# 0/1 selection matmuls. NO per-edge gathers or tables anywhere, so
+# Mosaic compiles the step in seconds and every op tiles onto MXU/VPU.
+# Param names are kept IDENTICAL to the table-path modules (w_e/w_s/w_d/
+# hidden_i/out/ln under "edge", MLP under "node"), so the two paths
+# share param trees and checkpoints (tests/test_lattice_graph.py).
+# =========================================================================
+
+
+class _StencilMessage(nn.Module):
+    """EdgeMessage on an 8-neighbor lattice stencil. Edge states live as
+    (B, 8, H, W, h) dense arrays in DIRS8 order; the per-edge source
+    state arrives by a 2-pixel-pad shift instead of a gather."""
+
+    hidden_dim: int
+    hidden_layers: int = 1
+    aggr: str = "sum"
+
+    @nn.compact
+    def __call__(self, v, e, mask, count=None):
+        from py4cast_tpu.ops.lattice_ops import DIRS8, shift2d
+
+        h = self.hidden_dim
+        pe = nn.Dense(h, name="w_e")(e)
+        ps = nn.Dense(h, use_bias=False, name="w_s")(v)
+        pd = nn.Dense(h, use_bias=False, name="w_d")(v)
+        vs = jnp.stack([shift2d(ps, di, dj) for di, dj in DIRS8], axis=1)
+        z = nn.silu(pe + vs + pd[:, None])
+        for i in range(self.hidden_layers - 1):
+            z = nn.silu(nn.Dense(h, name=f"hidden_{i}")(z))
+        e_new = nn.LayerNorm(name="ln")(nn.Dense(h, name="out")(z))
+        agg = (e_new * mask[None]).sum(axis=1)
+        if self.aggr == "mean":
+            agg = agg / jnp.maximum(count[None], 1.0)
+        return e_new, agg
+
+
+class _NearestMessage(nn.Module):
+    """EdgeMessage for one-edge-per-fine-cell bipartite maps (up_l, g2m
+    direction): fine is the edge source, its nearest coarse cell the
+    destination. Destination states arrive by separable take; the
+    aggregation is two selection matmuls."""
+
+    hidden_dim: int
+    hidden_layers: int = 1
+    aggr: str = "sum"
+
+    @nn.compact
+    def __call__(self, v_fine, v_coarse, e, lat: dict):
+        from py4cast_tpu.ops.lattice_ops import sep_aggregate, sep_take
+
+        h = self.hidden_dim
+        pe = nn.Dense(h, name="w_e")(e)
+        ps = nn.Dense(h, use_bias=False, name="w_s")(v_fine)
+        pd = nn.Dense(h, use_bias=False, name="w_d")(v_coarse)
+        z = nn.silu(pe + ps + sep_take(pd, lat["rows"], lat["cols"]))
+        for i in range(self.hidden_layers - 1):
+            z = nn.silu(nn.Dense(h, name=f"hidden_{i}")(z))
+        e_new = nn.LayerNorm(name="ln")(nn.Dense(h, name="out")(z))
+        agg = sep_aggregate(e_new, lat["ar"], lat["ac"])
+        if self.aggr == "mean":
+            agg = agg / jnp.maximum(lat["count"][None], 1.0)
+        return e_new, agg
+
+
+class _ReverseNearestMessage(nn.Module):
+    """EdgeMessage for down_l (coarse → fine along the same nearest map,
+    K=1): sources arrive by separable take, aggregation is identity."""
+
+    hidden_dim: int
+    hidden_layers: int = 1
+    aggr: str = "sum"  # K=1 → mean == sum
+
+    @nn.compact
+    def __call__(self, v_coarse, v_fine, e, lat: dict):
+        from py4cast_tpu.ops.lattice_ops import sep_take
+
+        h = self.hidden_dim
+        pe = nn.Dense(h, name="w_e")(e)
+        ps = nn.Dense(h, use_bias=False, name="w_s")(v_coarse)
+        pd = nn.Dense(h, use_bias=False, name="w_d")(v_fine)
+        z = nn.silu(pe + sep_take(ps, lat["rows"], lat["cols"]) + pd)
+        for i in range(self.hidden_layers - 1):
+            z = nn.silu(nn.Dense(h, name=f"hidden_{i}")(z))
+        e_new = nn.LayerNorm(name="ln")(nn.Dense(h, name="out")(z))
+        return e_new, e_new
+
+
+class LatticeInteractionNetwork(nn.Module):
+    """InteractionNetwork on lattice-form edges — same residual node/edge
+    updates and param tree ("edge" message + "node" MLP)."""
+
+    hidden_dim: int
+    hidden_layers: int = 1
+    aggr: str = "sum"
+    kind: str = "stencil"  # stencil | nearest | down
+    update_edges: bool = True
+
+    @nn.compact
+    def __call__(self, v_src, v_dst, e, lat: dict):
+        if self.kind == "stencil":
+            e_new, agg = _StencilMessage(
+                self.hidden_dim, self.hidden_layers, self.aggr, name="edge"
+            )(v_dst, e, lat["mask"], lat.get("count"))
+        elif self.kind == "nearest":
+            e_new, agg = _NearestMessage(
+                self.hidden_dim, self.hidden_layers, self.aggr, name="edge"
+            )(v_src, v_dst, e, lat)
+        else:
+            e_new, agg = _ReverseNearestMessage(
+                self.hidden_dim, self.hidden_layers, self.aggr, name="edge"
+            )(v_src, v_dst, e, lat)
+        v_new = MLP(
+            self.hidden_dim, self.hidden_dim, self.hidden_layers, name="node"
+        )(jnp.concatenate([v_dst, agg], axis=-1))
+        v_out = v_dst + v_new
+        e_out = e + e_new if self.update_edges else e
+        return v_out, e_out
+
+
+class LatticeEncodeDecode(nn.Module):
+    """EncodeDecodeInteraction on the lattice: 'nearest' is the g2m hop
+    (grid → mesh0), 'corners' the m2g hop (mesh0 → grid through the 4
+    surrounding coarse cells). Identical params (w_f/w_s/w_d/out/ln +
+    node) and math to the table version."""
+
+    hidden_dim: int
+    hidden_layers: int = 1
+    aggr: str = "sum"
+    kind: str = "nearest"  # nearest (g2m) | corners (m2g)
+
+    @nn.compact
+    def __call__(self, v_src, v_dst, lat: dict):
+        from py4cast_tpu.ops.lattice_ops import sep_aggregate, sep_take
+
+        h = self.hidden_dim
+        w_f = nn.Dense(h, name="w_f")
+        ps = nn.Dense(h, use_bias=False, name="w_s")(v_src)
+        pd = nn.Dense(h, use_bias=False, name="w_d")(v_dst)
+        out_d = nn.Dense(h, name="out")
+        ln = nn.LayerNorm(name="ln")
+
+        def tail(z):
+            return ln(out_d(nn.silu(z)))
+
+        if self.kind == "nearest":
+            pf = w_f(lat["feats"])[None]
+            pre = pf + ps + sep_take(pd, lat["rows"], lat["cols"])
+            agg = sep_aggregate(tail(pre), lat["ar"], lat["ac"])
+            if self.aggr == "mean":
+                agg = agg / jnp.maximum(lat["count"][None], 1.0)
+        else:
+            pf = w_f(lat["feats"])  # (4, fh, fw, h)
+            rows, cols = lat["rows"], lat["cols"]
+            agg = jnp.zeros_like(pd)
+            for k in range(4):
+                ps_g = sep_take(ps, rows[k // 2], cols[k % 2])
+                agg = agg + tail(pf[k][None] + ps_g + pd)
+            if self.aggr == "mean":
+                agg = agg / 4.0
+        v_new = MLP(
+            self.hidden_dim, self.hidden_dim, self.hidden_layers, name="node"
+        )(jnp.concatenate([v_dst, agg], axis=-1))
+        return v_dst + v_new
+
+
 class _FlatProcessorStep(nn.Module):
     """One scanned processor layer on the flat mesh graph. Scanning over
     stacked per-layer params compiles ONE layer body regardless of
@@ -477,6 +799,158 @@ class _HiLAMSweepStep(nn.Module):
             )
         return (tuple(mesh_v), tuple(intra_e), tuple(up_e), tuple(down_e),
                 garr), None
+
+
+class _LatticeUnionBlock(nn.Module):
+    """The multimesh union interaction ("block": one shared edge MLP +
+    one node update) on lattice form: each mesh level is a dilated
+    stencil on a level-0 sub-lattice; per-level aggregates are scattered
+    back into the level-0 lattice with selection matmuls."""
+
+    hidden_dim: int
+    hidden_layers: int = 1
+    aggr: str = "sum"
+
+    @nn.compact
+    def __call__(self, v0, e_levels, lat: dict):
+        from py4cast_tpu.ops.lattice_ops import sep_aggregate, sep_take
+
+        msg = _StencilMessage(
+            self.hidden_dim, self.hidden_layers, "sum", name="edge"
+        )
+        agg_total = jnp.zeros_like(v0)
+        new_e = []
+        for lev, e in enumerate(e_levels):
+            full = e.shape[2:4] == v0.shape[1:3]
+            rows = lat[f"lat_multi_{lev}_rows"]
+            cols = lat[f"lat_multi_{lev}_cols"]
+            v_l = v0 if full else sep_take(v0, rows, cols)
+            e_new, agg = msg(v_l, e, lat[f"lat_multi_{lev}_mask"])
+            new_e.append(e + e_new)
+            if not full:
+                agg = sep_aggregate(
+                    agg, lat[f"lat_multi_{lev}_sr"], lat[f"lat_multi_{lev}_sc"]
+                )
+            agg_total = agg_total + agg
+        if self.aggr == "mean":
+            agg_total = agg_total / jnp.maximum(lat["lat_multi_count"][None], 1.0)
+        v_new = MLP(
+            self.hidden_dim, self.hidden_dim, self.hidden_layers, name="node"
+        )(jnp.concatenate([v0, agg_total], axis=-1))
+        return v0 + v_new, tuple(new_e)
+
+
+class _LatticeFlatStep(nn.Module):
+    """One scanned multimesh processor layer on the lattice (GraphLAM)."""
+
+    hidden_dim: int
+    hidden_layers: int
+    aggr: str
+
+    @nn.compact
+    def __call__(self, carry, _):
+        v0, e_levels, lat = carry
+        v0, e_levels = _LatticeUnionBlock(
+            self.hidden_dim, self.hidden_layers, self.aggr, name="block"
+        )(v0, e_levels, lat)
+        return (v0, e_levels, lat), None
+
+
+class _LatticeHiLAMSweepStep(nn.Module):
+    """One scanned HiLAM processor layer on the lattice: sweep up, then
+    down, exactly mirroring _HiLAMSweepStep's interaction order/names."""
+
+    hidden_dim: int
+    hidden_layers: int
+    aggr: str
+    num_levels: int
+
+    @nn.compact
+    def __call__(self, carry, _):
+        mesh_v, intra_e, up_e, down_e, lat = carry
+        mesh_v, intra_e, up_e, down_e = (
+            list(mesh_v), list(intra_e), list(up_e), list(down_e)
+        )
+        L = self.num_levels
+
+        def lin(kind, name):
+            return LatticeInteractionNetwork(
+                self.hidden_dim, self.hidden_layers, self.aggr,
+                kind=kind, name=name,
+            )
+
+        for l in range(L - 1):  # sweep up
+            mesh_v[l + 1], up_e[l] = lin("nearest", f"up_{l}")(
+                mesh_v[l], mesh_v[l + 1], up_e[l], _lat_dict(lat, f"up_{l}")
+            )
+            mesh_v[l + 1], intra_e[l + 1] = lin("stencil", f"intra_up_{l + 1}")(
+                mesh_v[l + 1], mesh_v[l + 1], intra_e[l + 1],
+                _lat_dict(lat, f"intra_{l + 1}"),
+            )
+        for l in reversed(range(L - 1)):  # sweep down
+            mesh_v[l], down_e[l] = lin("down", f"down_{l}")(
+                mesh_v[l + 1], mesh_v[l], down_e[l],
+                _lat_dict(lat, f"down_{l}"),
+            )
+            mesh_v[l], intra_e[l] = lin("stencil", f"intra_down_{l}")(
+                mesh_v[l], mesh_v[l], intra_e[l], _lat_dict(lat, f"intra_{l}")
+            )
+        return (tuple(mesh_v), tuple(intra_e), tuple(up_e), tuple(down_e),
+                lat), None
+
+
+class _LatticeHiLAMParallelStep(nn.Module):
+    """One scanned HiLAMParallel processor layer on the lattice: all edge
+    sets message simultaneously, one node update per level — mirroring
+    _HiLAMParallelStep's module names."""
+
+    hidden_dim: int
+    hidden_layers: int
+    aggr: str
+    num_levels: int
+
+    @nn.compact
+    def __call__(self, carry, _):
+        mesh_v, intra_e, up_e, down_e, lat = carry
+        L = self.num_levels
+        aggs = [None] * L
+
+        def accumulate(l, agg):
+            aggs[l] = agg if aggs[l] is None else aggs[l] + agg
+
+        new_intra, new_up, new_down = [], [], []
+        for l in range(L):
+            d = _lat_dict(lat, f"intra_{l}")
+            e_new, agg = _StencilMessage(
+                self.hidden_dim, self.hidden_layers, self.aggr,
+                name=f"intra_{l}",
+            )(mesh_v[l], intra_e[l], d["mask"], d.get("count"))
+            new_intra.append(intra_e[l] + e_new)
+            accumulate(l, agg)
+        for l in range(L - 1):
+            e_new, agg = _NearestMessage(
+                self.hidden_dim, self.hidden_layers, self.aggr,
+                name=f"up_{l}",
+            )(mesh_v[l], mesh_v[l + 1], up_e[l], _lat_dict(lat, f"up_{l}"))
+            new_up.append(up_e[l] + e_new)
+            accumulate(l + 1, agg)
+            e_new, agg = _ReverseNearestMessage(
+                self.hidden_dim, self.hidden_layers, self.aggr,
+                name=f"down_{l}",
+            )(mesh_v[l + 1], mesh_v[l], down_e[l], _lat_dict(lat, f"down_{l}"))
+            new_down.append(down_e[l] + e_new)
+            accumulate(l, agg)
+
+        new_v = tuple(
+            mesh_v[l]
+            + MLP(self.hidden_dim, self.hidden_dim, self.hidden_layers,
+                  name=f"node_{l}")(
+                jnp.concatenate([mesh_v[l], aggs[l]], axis=-1)
+            )
+            for l in range(L)
+        )
+        return (new_v, tuple(new_intra), tuple(new_up), tuple(new_down),
+                lat), None
 
 
 def _scan_layers(step_kls, num_layers: int, name: str, **kwargs):
@@ -562,6 +1036,8 @@ class _GraphModelBase(ModelBase):
         # nested multimesh over the level-0 node set (GraphLAM)
         n0 = g.level_sizes[0]
         add("multi", g.multi.src, g.multi.dst, g.multi.feats, n0, n0)
+        if g.lattice:
+            d.update(g.lattice_np)
         g._regular_k = regular
         g._arrays_cache = d
         return d
@@ -634,6 +1110,71 @@ class _GraphModelBase(ModelBase):
             layer_norm=False, name="decoder",
         )(grid_v)
 
+    # ---- lattice fast path (dense stencil/separable form of the above)
+    def _lattice_on(self, need_multi: bool = False) -> bool:
+        g = self.graph
+        ok = (
+            g is not None
+            and getattr(g, "lattice", False)
+            and getattr(self.settings, "use_lattice", True)
+        )
+        if need_multi:
+            ok = ok and getattr(g, "multi_lattice_ok", False)
+        return ok
+
+    def _lattice_embed(self, x, garr, num_levels: Optional[int] = None):
+        """grid/mesh embeds on lattice-shaped tensors — same param names
+        and weights as _embed, outputs (B, H, W, h) lattices."""
+        g, s = self.graph, self.settings
+        h = s.hidden_dims
+        b = x.shape[0]
+        gh, gw = g.grid_hw
+        if num_levels is None:
+            num_levels = len(g.mesh_pos)
+        x_lat = x.reshape(b, gh, gw, x.shape[-1])
+        grid_v = MLP(h, h, s.hidden_layers, name="grid_embed")(x_lat)
+        mesh_v = []
+        for l in range(num_levels):
+            lh, lw = g.level_hw[l]
+            emb = MLP(h, h, s.hidden_layers, name=f"mesh_embed_{l}")(
+                garr[f"mesh_pos_{l}"].reshape(lh, lw, 2)
+            )
+            mesh_v.append(jnp.broadcast_to(emb[None], (b, lh, lw, h)))
+        return grid_v, mesh_v
+
+    def _lattice_edge_emb(self, garr, key: str, b: int, name: str):
+        s = self.settings
+        e = MLP(s.hidden_dims, s.hidden_dims, s.hidden_layers, name=name)(
+            garr[key]
+        )
+        return jnp.broadcast_to(e[None], (b,) + e.shape)
+
+    def _lattice_g2m(self, garr, grid_v, mesh_v0):
+        s = self.settings
+        return LatticeEncodeDecode(
+            s.hidden_dims, s.hidden_layers, s.mesh_aggr, kind="nearest",
+            name="g2m",
+        )(grid_v, mesh_v0, _lat_dict(garr, "g2m"))
+
+    def _lattice_m2g(self, garr, mesh_v0, grid_v):
+        s = self.settings
+        return LatticeEncodeDecode(
+            s.hidden_dims, s.hidden_layers, s.mesh_aggr, kind="corners",
+            name="m2g",
+        )(mesh_v0, grid_v, _lat_dict(garr, "m2g"))
+
+    def _lattice_decode(self, grid_v):
+        """Decode and flatten back to the (B, n_grid, F) GRAPH contract."""
+        b = grid_v.shape[0]
+        out = self._decode(grid_v)
+        return out.reshape(b, self.graph.n_grid, out.shape[-1])
+
+    @staticmethod
+    def _lat_subset(garr: dict) -> dict:
+        """Only the lat_* arrays — the scan carry must not thread the
+        (much larger) gather tables through the loop."""
+        return {k: v for k, v in garr.items() if k.startswith("lat_")}
+
     def _multimesh_process(self, garr, grid_v, mesh_v0):
         """g2m → scanned multimesh processor → m2g (GraphLAM core): ONE
         node set (mesh level 0) carrying the union of all levels'
@@ -666,8 +1207,34 @@ class GraphLAM(_GraphModelBase):
     @nn.compact
     def __call__(self, x, graph_arrays=None, deterministic: bool = True):
         garr = self._garr(graph_arrays, dtype=x.dtype)
+        if self._lattice_on(need_multi=True):
+            return self._lattice_forward(garr, x)
         grid_v, mesh_v = self._embed(x, garr, num_levels=1)
         return self._multimesh_process(garr, grid_v, mesh_v[0])
+
+    def _lattice_forward(self, garr, x):
+        g, s = self.graph, self.settings
+        b = x.shape[0]
+        grid_v, mesh_v = self._lattice_embed(x, garr, num_levels=1)
+        v0 = self._lattice_g2m(garr, grid_v, mesh_v[0])
+        edge_mlp = MLP(s.hidden_dims, s.hidden_dims, s.hidden_layers,
+                       name="mesh_edge_embed")
+        e_levels = tuple(
+            jnp.broadcast_to(
+                edge_mlp(garr[f"lat_multi_{l}_feats"])[None],
+                (b,) + garr[f"lat_multi_{l}_feats"].shape[:-1]
+                + (s.hidden_dims,),
+            )
+            for l in range(len(g.level_hw))
+        )
+        proc = _scan_layers(
+            _LatticeFlatStep, s.processor_layers, "processor",
+            hidden_dim=s.hidden_dims, hidden_layers=s.hidden_layers,
+            aggr=s.mesh_aggr,
+        )
+        (v0, _, _), _ = proc((v0, e_levels, self._lat_subset(garr)), None)
+        grid_out = self._lattice_m2g(garr, v0, grid_v)
+        return self._lattice_decode(grid_out)
 
 
 class HiLAM(_GraphModelBase):
@@ -684,6 +1251,8 @@ class HiLAM(_GraphModelBase):
         garr = self._garr(graph_arrays, dtype=x.dtype)
         g, s = self.graph, self.settings
         b = x.shape[0]
+        if self._lattice_on():
+            return self._lattice_forward(garr, x)
         grid_v, mesh_v = self._embed(x, garr)
         mesh_v[0] = self._g2m(garr, grid_v, mesh_v[0])
 
@@ -712,6 +1281,43 @@ class HiLAM(_GraphModelBase):
         )
         grid_out = self._m2g(garr, mesh_v_t[0], grid_v)
         return self._decode(grid_out)
+
+    def _lattice_forward(self, garr, x):
+        g, s = self.graph, self.settings
+        b = x.shape[0]
+        grid_v, mesh_v = self._lattice_embed(x, garr)
+        mesh_v[0] = self._lattice_g2m(garr, grid_v, mesh_v[0])
+
+        L = len(g.mesh_pos)
+        intra_e = tuple(
+            self._lattice_edge_emb(
+                garr, f"lat_intra_{l}_feats", b, f"intra_edge_embed_{l}"
+            )
+            for l in range(L)
+        )
+        up_e = tuple(
+            self._lattice_edge_emb(
+                garr, f"lat_up_{l}_feats", b, f"up_edge_embed_{l}"
+            )
+            for l in range(L - 1)
+        )
+        down_e = tuple(
+            self._lattice_edge_emb(
+                garr, f"lat_down_{l}_feats", b, f"down_edge_embed_{l}"
+            )
+            for l in range(L - 1)
+        )
+        proc = _scan_layers(
+            _LatticeHiLAMSweepStep, s.processor_layers, "processor",
+            hidden_dim=s.hidden_dims, hidden_layers=s.hidden_layers,
+            aggr=s.mesh_aggr, num_levels=L,
+        )
+        (mesh_v_t, _, _, _, _), _ = proc(
+            (tuple(mesh_v), intra_e, up_e, down_e, self._lat_subset(garr)),
+            None,
+        )
+        grid_out = self._lattice_m2g(garr, mesh_v_t[0], grid_v)
+        return self._lattice_decode(grid_out)
 
 
 class _HiLAMParallelStep(nn.Module):
@@ -791,6 +1397,8 @@ class HiLAMParallel(_GraphModelBase):
         garr = self._garr(graph_arrays, dtype=x.dtype)
         g, s = self.graph, self.settings
         b = x.shape[0]
+        if self._lattice_on():
+            return self._lattice_forward(garr, x)
         grid_v, mesh_v = self._embed(x, garr)
         mesh_v[0] = self._g2m(garr, grid_v, mesh_v[0])
 
@@ -819,3 +1427,40 @@ class HiLAMParallel(_GraphModelBase):
         )
         grid_out = self._m2g(garr, mesh_v_t[0], grid_v)
         return self._decode(grid_out)
+
+    def _lattice_forward(self, garr, x):
+        g, s = self.graph, self.settings
+        b = x.shape[0]
+        grid_v, mesh_v = self._lattice_embed(x, garr)
+        mesh_v[0] = self._lattice_g2m(garr, grid_v, mesh_v[0])
+
+        L = len(g.mesh_pos)
+        intra_e = tuple(
+            self._lattice_edge_emb(
+                garr, f"lat_intra_{l}_feats", b, f"intra_edge_embed_{l}"
+            )
+            for l in range(L)
+        )
+        up_e = tuple(
+            self._lattice_edge_emb(
+                garr, f"lat_up_{l}_feats", b, f"up_edge_embed_{l}"
+            )
+            for l in range(L - 1)
+        )
+        down_e = tuple(
+            self._lattice_edge_emb(
+                garr, f"lat_down_{l}_feats", b, f"down_edge_embed_{l}"
+            )
+            for l in range(L - 1)
+        )
+        proc = _scan_layers(
+            _LatticeHiLAMParallelStep, s.processor_layers, "processor",
+            hidden_dim=s.hidden_dims, hidden_layers=s.hidden_layers,
+            aggr=s.mesh_aggr, num_levels=L,
+        )
+        (mesh_v_t, _, _, _, _), _ = proc(
+            (tuple(mesh_v), intra_e, up_e, down_e, self._lat_subset(garr)),
+            None,
+        )
+        grid_out = self._lattice_m2g(garr, mesh_v_t[0], grid_v)
+        return self._lattice_decode(grid_out)
