@@ -445,6 +445,24 @@ class DataAccessor(ABC):
         file_format: str = "npy",
     ) -> np.ndarray: ...
 
+    @classmethod
+    def file_paths_for(
+        cls,
+        dataset_name: str,
+        param: WeatherParam,
+        timestamps: Timestamps,
+        member: int = 0,
+        file_format: str = "npy",
+    ) -> Optional[List[Path]]:
+        """Optional hook: the one-file-per-validity-time paths behind
+        ``load_data_from_disk``, or None when the accessor's storage is
+        not file-per-timestep. When every param of a sample provides
+        paths, Sample.load fuses ALL of them into ONE parallel native
+        batch read (native/p4t_io.cpp) instead of one small call per
+        param — the thread pool only saturates with a whole sample's
+        worth of files."""
+        return None
+
     @abstractmethod
     def exists(
         self,

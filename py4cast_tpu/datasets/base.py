@@ -288,21 +288,66 @@ class Sample:
             arr = (arr - self.stats[name]["mean"]) / self.stats[name]["std"]
         return np.asarray(arr, dtype=np.float32)
 
+    def _param_stamps(self, param: WeatherParam) -> Timestamps:
+        return (
+            self.timestamps
+            if param.kind == "input_output"
+            else self.output_timestamps
+        )
+
+    def _batched_param_arrays(self, standardize: bool) -> Optional[dict]:
+        """Whole-sample fused read: ONE parallel native batch over every
+        (param × validity time) file — a sample's worth of files is what
+        it takes to saturate the reader's thread pool (a per-param call
+        covers only num_steps files). Returns {param_name: (T,H,W,1)} or
+        None when the accessor isn't file-per-timestep npy storage."""
+        if self.settings.file_format != "npy":
+            return None
+        per_param = []
+        for p in self.params:
+            paths = self.accessor.file_paths_for(
+                self.settings.dataset_name, p, self._param_stamps(p),
+                self.member, "npy",
+            )
+            if paths is None:
+                return None
+            per_param.append(paths)
+        from py4cast_tpu.native import read_npy_float32_batch
+
+        # all files must share one shape for a single batch buffer; probe
+        # headers only (mmap) — cheap, and a mismatch just falls back
+        shapes = {
+            np.load(paths[0], mmap_mode="r").shape for paths in per_param
+        }
+        if len(shapes) != 1:
+            return None
+        flat = [q for paths in per_param for q in paths]
+        block = read_npy_float32_batch(flat, shapes.pop())
+        out, i = {}, 0
+        for p, paths in zip(self.params, per_param):
+            arr = block[i : i + len(paths)][..., None]
+            i += len(paths)
+            if standardize:
+                name = self.accessor.parameter_namer(p)
+                arr = (arr - self.stats[name]["mean"]) / self.stats[name]["std"]
+            out[self.accessor.parameter_namer(p)] = np.asarray(
+                arr, dtype=np.float32
+            )
+        return out
+
     def load(self, no_standardize: bool = False) -> Item:
         linputs, loutputs, lforcings = [], [], []
         names4 = ("timestep", "lat", "lon", "features")
+        standardize = self.settings.standardize and not no_standardize
+        batched = self._batched_param_arrays(standardize)
 
         for param in self.params:
             fname = self.accessor.parameter_namer(param)
-            stamps = (
-                self.timestamps
-                if param.kind == "input_output"
-                else self.output_timestamps
-            )
-            arr = self.get_param_array(
-                param,
-                stamps,
-                standardize=(self.settings.standardize and not no_standardize),
+            stamps = self._param_stamps(param)
+            arr = (
+                batched[fname]
+                if batched is not None
+                else self.get_param_array(param, stamps, standardize)
             )
             nt = NamedArray(arr, names4, (fname,))
             if param.kind == "input":

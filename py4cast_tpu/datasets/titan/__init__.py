@@ -151,6 +151,22 @@ class TitanAccessor(DataAccessor):
         return np.load(path)
 
     @classmethod
+    def file_paths_for(
+        cls,
+        dataset_name: str,
+        param: WeatherParam,
+        timestamps: Timestamps,
+        member: int = 0,
+        file_format: str = "npy",
+    ):
+        if file_format != "npy":
+            return None
+        return [
+            cls._date_filepath(dataset_name, param, date, "npy")
+            for date in timestamps.validity_times
+        ]
+
+    @classmethod
     def load_data_from_disk(
         cls,
         dataset_name: str,

@@ -104,7 +104,9 @@ class WindowAttention(nn.Module):
             nw = mask.shape[0]
             attn = attn.reshape(nb // nw, nw, self.heads, t, t) + mask[None, :, None]
             attn = attn.reshape(nb, self.heads, t, t)
-        attn = nn.softmax(attn, axis=-1)
+        # softmax in f32 for stability, back to the compute dtype so the
+        # value matmul and downstream layers stay bf16 under the policy
+        attn = nn.softmax(attn, axis=-1).astype(v.dtype)
         out = jnp.einsum("bhts,bhsd->bhtd", attn, v).transpose(0, 2, 1, 3)
         return nn.Dense(self.dim)(out.reshape(nb, t, self.dim))
 

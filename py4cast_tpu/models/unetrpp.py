@@ -70,7 +70,10 @@ class EPA(nn.Module):
         attn_ch = jnp.einsum(
             "bhnd,bhne->bhde", qn, kn, preferred_element_type=jnp.float32
         ) * temp
-        attn_ch = nn.softmax(attn_ch, axis=-1)
+        # softmax in f32 for stability, back to the compute dtype so the
+        # value matmul (and everything downstream) stays bf16 under the
+        # mixed-precision policy
+        attn_ch = nn.softmax(attn_ch, axis=-1).astype(v_ch.dtype)
         out_ch = jnp.einsum("bhde,bhne->bhnd", attn_ch, v_ch)
 
         # ---- spatial attention branch: K/V projected to proj_size tokens
@@ -102,7 +105,7 @@ class EPA(nn.Module):
             attn_sp = jnp.einsum(
                 "bhnd,bhpd->bhnp", q, k_p, preferred_element_type=jnp.float32
             ) / jnp.sqrt(hd).astype(q.dtype)
-            attn_sp = nn.softmax(attn_sp, axis=-1)
+            attn_sp = nn.softmax(attn_sp, axis=-1).astype(v_p.dtype)
             out_sp = jnp.einsum("bhnp,bhpd->bhnd", attn_sp, v_p)
 
         def merge(a):

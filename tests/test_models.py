@@ -102,6 +102,25 @@ def test_gradient_step_reduces_loss(name):
     assert float(loss_fn(params)) < l0
 
 
+@pytest.mark.parametrize(
+    "name", ["HalfUNet", "UNetRPP", "Segformer", "SwinUNetR", "GraphLAM"]
+)
+def test_bf16_dtype_preserved(name):
+    """Under the bf16 policy (params+activations cast in apply), the
+    model must return bf16 — an f32 upcast anywhere in the body silently
+    doubles HBM traffic and breaks nn.scan carries (caught live on
+    UNetRPP's EPA softmax)."""
+    model, input_shape = _build(name)
+    x32 = jnp.zeros((1,) + input_shape + (F_IN,), jnp.float32)
+    variables = model.init(jax.random.key(0), x32)
+    vb = jax.tree.map(
+        lambda a: a.astype(jnp.bfloat16) if a.dtype == jnp.float32 else a,
+        variables,
+    )
+    y = model.apply(vb, x32.astype(jnp.bfloat16))
+    assert y.dtype == jnp.bfloat16, f"{name} upcast to {y.dtype}"
+
+
 def test_registry_contains_reference_zoo():
     """Asserts the reference's 12-model surface (minus plugins) is present
     (reference: tests/test_models.py:145-165)."""
