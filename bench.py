@@ -23,10 +23,15 @@ import json
 import os
 import sys
 import time
+import traceback
 from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parent))
 os.environ.setdefault("PY4CAST_TPU_ROOTDIR", "/tmp/py4cast_tpu_bench")
+#: persistent XLA compile cache — repeat bench runs skip the multi-minute
+#: Mosaic compiles entirely (cold-cache compile seconds are reported the
+#: first time; warm runs report the (tiny) cache-load time instead)
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/p4t_xla_cache")
 
 BASELINE_SAMPLES_PER_SEC = 1.53  # doc/num_steps.md:119-121 (V100, batch 1)
 HEADLINE_MODEL = "HiLAM"  # the model the baseline was measured on
@@ -165,15 +170,23 @@ def main():
     models = [only] if only else list(CONFIGS)
     results = {}
     for model in models:
-        r = bench_model(model, batch_size, n_steps, precision, mode)
+        try:
+            r = bench_model(model, batch_size, n_steps, precision, mode)
+        except Exception as e:  # one broken model must not kill the headline
+            traceback.print_exc(file=sys.stderr)
+            r = {"metric": f"{model.lower()}_train_samples_per_sec_per_chip",
+                 "value": 0.0, "unit": "samples/s", "vs_baseline": 0.0,
+                 "error": f"{type(e).__name__}: {e}"[:300]}
         results[model] = r
         print(json.dumps(r), flush=True)
 
     # headline: like-for-like HiLAM vs the reference HiLAM baseline
-    head = results.get(HEADLINE_MODEL, results[models[-1]])
+    ok = {m: r for m, r in results.items() if "error" not in r} or results
+    head = ok.get(HEADLINE_MODEL, list(ok.values())[-1])
     headline = dict(head)
     headline["models"] = {
-        m: {k: r[k] for k in ("value", "vs_baseline", "mfu", "compile_seconds")}
+        m: {k: r[k] for k in ("value", "vs_baseline", "mfu",
+                              "compile_seconds", "error") if k in r}
         for m, r in results.items()
     }
     print(json.dumps(headline), flush=True)

@@ -96,6 +96,7 @@ def main() -> int:
     dt_py = time.perf_counter() - t0
     results["raw_numpy_files_per_sec"] = round(len(probe_paths) / dt_py, 1)
     results["raw_numpy_MB_per_sec"] = round(len(probe_paths) * file_mb / dt_py, 1)
+    print(f"raw numpy: {results['raw_numpy_MB_per_sec']} MB/s", flush=True)
 
     if has_native():
         t0 = time.perf_counter()
@@ -105,6 +106,7 @@ def main() -> int:
         results["raw_native_MB_per_sec"] = round(
             len(probe_paths) * file_mb / dt_nat, 1
         )
+        print(f"raw native: {results['raw_native_MB_per_sec']} MB/s", flush=True)
 
     # ---- full pipeline at several worker counts
     n_batches = min(args.n_batches, len(train_ds) // args.batch_size - 1)
@@ -122,6 +124,11 @@ def main() -> int:
         loader.close()
         results[f"pipeline_samples_per_sec_w{workers}"] = round(
             n_batches * args.batch_size / elapsed, 2
+        )
+        print(
+            f"pipeline w{workers}: "
+            f"{results[f'pipeline_samples_per_sec_w{workers}']} samples/s",
+            flush=True,
         )
 
     print(json.dumps(results))

@@ -82,6 +82,15 @@ class ModelBase(nn.Module):
     def num_spatial_dims(self) -> int:
         return len(self.input_shape)
 
+    @property
+    def spatial_shardable(self) -> bool:
+        """Whether the forward tolerates the grid's lat dim being sharded
+        over the mesh 'spatial' axis (XLA inserts halo exchanges /
+        collectives). True for the conv/attention grid models; GRAPH
+        models override (lattice-form message passing shards, gather
+        tables do not)."""
+        return True
+
 
 def pad_to_multiple(x: jnp.ndarray, multiple: int) -> Tuple[jnp.ndarray, Tuple[int, int]]:
     """Zero-pad the two spatial dims of NHWC ``x`` up to a multiple.

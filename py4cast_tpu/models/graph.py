@@ -1110,6 +1110,19 @@ class _GraphModelBase(ModelBase):
             layer_norm=False, name="decoder",
         )(grid_v)
 
+    #: set True by models whose lattice path needs a dedup-free multimesh
+    _lattice_need_multi = False
+
+    @property
+    def spatial_shardable(self) -> bool:
+        """GNN spatial sharding rides the lattice path: stencils shard
+        like convolutions (halo exchange on the lat dim), separable
+        aggregations reduce over the sharded axis with an XLA psum, and
+        the (small) mesh-level tensors stay replicated. The gather-table
+        path cannot shard — million-row gathers across device boundaries
+        would serialize on all-to-alls."""
+        return self._lattice_on(need_multi=self._lattice_need_multi)
+
     # ---- lattice fast path (dense stencil/separable form of the above)
     def _lattice_on(self, need_multi: bool = False) -> bool:
         g = self.graph
@@ -1203,6 +1216,7 @@ class GraphLAM(_GraphModelBase):
     settings: GraphModelSettings = GraphModelSettings()
     graph: Optional[GraphArtifacts] = None
     register = True
+    _lattice_need_multi = True
 
     @nn.compact
     def __call__(self, x, graph_arrays=None, deterministic: bool = True):

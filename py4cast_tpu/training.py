@@ -142,10 +142,14 @@ class AutoRegressiveModule:
         from py4cast_tpu.parallel.mesh import SPATIAL_AXIS, statics_sharding
 
         spatial_shards = int(self.mesh.shape[SPATIAL_AXIS])
-        if self.is_graph and spatial_shards > 1:
+        if spatial_shards > 1 and not getattr(
+            self.model, "spatial_shardable", False
+        ):
             raise ValueError(
-                "Spatial mesh sharding is only supported for grid (CNN/ViT) "
-                "models; GRAPH models require spatial=1."
+                "Spatial mesh sharding requires a model whose forward "
+                "tolerates a sharded lat dim; this GRAPH model runs the "
+                "gather-table path (use_lattice=false or an irregular "
+                "graph) — set spatial=1."
             )
         if spatial_shards > 1 and grid_shape[0] % spatial_shards:
             raise ValueError(
@@ -153,18 +157,23 @@ class AutoRegressiveModule:
                 f"spatial mesh axis ({spatial_shards})."
             )
         if self.is_graph:
+            # flattened (ngrid, …) statics: row-major flatten means a
+            # contiguous shard of ngrid IS a band of lat rows, so the
+            # same lat-sharding story applies to lattice GNNs
             statics = statics.flatten_spatial()
-        st_sh = statics_sharding(self.mesh, 3)
+        gs = np.asarray(statics.grid_statics.array, np.float32)
+        bm = np.asarray(statics.border_mask, np.float32)
         self.grid_statics = jax.device_put(
-            np.asarray(statics.grid_statics.array, np.float32),
-            replicated(self.mesh) if self.is_graph else st_sh,
+            gs, statics_sharding(self.mesh, gs.ndim)
         )
         self.border_mask = jax.device_put(
-            np.asarray(statics.border_mask, np.float32),
-            replicated(self.mesh) if self.is_graph else st_sh,
+            bm, statics_sharding(self.mesh, bm.ndim)
         )
         self.interior_mask_np = np.asarray(statics.interior_mask, np.float32)
-        self._batch_lat_axis = None if self.is_graph else 2
+        # batches are (B, T, lat, lon, F) for grid models and
+        # (B, T, ngrid, F) for GRAPH; either way axis 2 is the one the
+        # spatial mesh axis shards (contiguous ngrid shards = lat bands)
+        self._batch_lat_axis = 2 if spatial_shards > 1 or not self.is_graph else None
 
         out_names = tuple(dataset_info.output_feature_names)
         forcing_names = tuple(dataset_info.forcing_feature_names)
@@ -609,6 +618,9 @@ class Trainer:
         self.save_path = Path(config.save_path)
         self.save_path.mkdir(parents=True, exist_ok=True)
         self.loggers = loggers if loggers is not None else []
+        from py4cast_tpu.settings import enable_compilation_cache
+
+        enable_compilation_cache()  # warm restarts skip the big compiles
 
     def _log(self, tag: str, value: float, step: int):
         for lg in self.loggers:

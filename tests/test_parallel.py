@@ -63,16 +63,36 @@ def test_spatial_sharding_matches_unsharded():
     assert l1 == pytest.approx(l42, rel=1e-4)
 
 
-def test_graph_model_rejects_spatial_sharding():
+def _gnn_settings(**extra):
+    args = {"hidden_dims": 8, "mesh_levels": 2, "processor_layers": 1}
+    args.update(extra)
+    return _settings(model_name="HiLAM", settings_init_args=args)
+
+
+def test_graph_spatial_sharding_matches_unsharded():
+    """Lattice-form GNNs shard the lat dim like convs: stencils become
+    halo exchanges, separable aggregations psum over the sharded axis.
+    The loss must match the unsharded run."""
+    single = make_mesh(MeshConfig(data_parallel=1), jax.devices()[:1])
+    dp4sp2 = make_mesh(MeshConfig(data_parallel=4, spatial=2))
+
+    def run(mesh):
+        module = AutoRegressiveModule(_gnn_settings(), INFO, mesh=mesh)
+        state = module.init_state(jax.random.key(0), 4)
+        batch = synthetic_batch(INFO, batch_size=8, num_pred_steps=2)
+        _, loss = module.train_step(state, batch, jax.random.key(1))
+        return float(loss)
+
+    assert run(single) == pytest.approx(run(dp4sp2), rel=1e-4)
+
+
+def test_graph_table_path_rejects_spatial_sharding():
+    """The gather-table fallback cannot shard the grid — it must refuse
+    loudly instead of silently serializing on all-to-alls."""
     mesh = make_mesh(MeshConfig(data_parallel=4, spatial=2))
     with pytest.raises(ValueError, match="spatial"):
         AutoRegressiveModule(
-            _settings(
-                model_name="GraphLAM",
-                settings_init_args={"hidden_dims": 8, "mesh_levels": 2},
-            ),
-            INFO,
-            mesh=mesh,
+            _gnn_settings(use_lattice=False), INFO, mesh=mesh
         )
 
 
