@@ -30,7 +30,10 @@ sys.path.insert(0, str(Path(__file__).resolve().parent))
 os.environ.setdefault("PY4CAST_TPU_ROOTDIR", "/tmp/py4cast_tpu_bench")
 #: persistent XLA compile cache — repeat bench runs skip the multi-minute
 #: Mosaic compiles entirely (cold-cache compile seconds are reported the
-#: first time; warm runs report the (tiny) cache-load time instead)
+#: first time; warm runs report the (tiny) cache-load time instead).
+#: NOTE env var alone is not enough here: a sitecustomize imports jax
+#: before this line runs, freezing the config default — set via
+#: settings.enable_compilation_cache() (jax.config.update) in main().
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/p4t_xla_cache")
 
 BASELINE_SAMPLES_PER_SEC = 1.53  # doc/num_steps.md:119-121 (V100, batch 1)
@@ -103,13 +106,19 @@ def bench_model(model: str, batch_size: int, n_steps: int, precision: str,
         )
         return state.apply_gradients(grads=grads), loss
 
-    # cost analysis of ONE step for the MFU estimate
-    t0 = time.perf_counter()
-    compiled_one = jax.jit(one_step).lower(state).compile()
-    compile_s_step = time.perf_counter() - t0
-    ca = compiled_one.cost_analysis()
+    # cost analysis of ONE step for the MFU estimate — prefer the
+    # LOWERED program (client-side HLO analysis, no TPU compile); some
+    # PJRT plugins (axon) return None there, then compile one_step for
+    # it (hits the persistent compile cache on repeat runs)
+    lowered_one = jax.jit(one_step).lower(state)
+    ca = lowered_one.cost_analysis()
+    compiled_one = None
+    if ca is None:
+        compiled_one = lowered_one.compile()
+        ca = compiled_one.cost_analysis()
     if isinstance(ca, list):
         ca = ca[0]
+    ca = ca or {}
     flops_per_step = float(ca.get("flops", 0.0))
     bytes_per_step = float(ca.get("bytes accessed", 0.0))
 
@@ -131,7 +140,10 @@ def bench_model(model: str, batch_size: int, n_steps: int, precision: str,
         dt = time.perf_counter() - t0
         assert total == total, "loss is NaN"
     else:
-        compile_s = compile_s_step
+        t0 = time.perf_counter()
+        if compiled_one is None:
+            compiled_one = lowered_one.compile()
+        compile_s = time.perf_counter() - t0
         for _ in range(3):
             state, loss = compiled_one(state)
         float(loss)
@@ -161,6 +173,9 @@ def bench_model(model: str, batch_size: int, n_steps: int, precision: str,
 
 
 def main():
+    from py4cast_tpu.settings import enable_compilation_cache
+
+    enable_compilation_cache()
     batch_size = int(os.environ.get("BENCH_BATCH", "1"))
     n_steps = int(os.environ.get("BENCH_STEPS", "20"))
     precision = os.environ.get("BENCH_PRECISION", "bf16")
