@@ -93,6 +93,26 @@ def test_titan_dataset_builds_and_loads(titan_data):
 
 def test_titan_weight_per_level(titan_data):
     assert titan_data.get_weight_per_level(500, "isobaricInhPa") == 1.5
+
+
+def test_titan_fused_batch_read_matches_per_param(titan_data):
+    """Sample.load's whole-sample fused native read must engage for the
+    Titan npy layout and produce exactly the per-param path's item."""
+    from py4cast_tpu.datasets import get_datasets
+
+    train_ds, _, _ = get_datasets(
+        "titan_aro_arp", 2, 1, 1, dataset_conf=TITAN_CONF
+    )
+    train_ds.settings.standardize = False
+    sample = train_ds.sample_list[0]
+    batched = sample._batched_param_arrays(standardize=False)
+    assert batched is not None, "fused path must engage for npy Titan"
+    for p in sample.params:
+        name = sample.accessor.parameter_namer(p)
+        ref = sample.get_param_array(
+            p, sample._param_stamps(p), standardize=False
+        )
+        np.testing.assert_array_equal(batched[name], ref)
     assert titan_data.get_weight_per_level(2, "heightAboveGround") == 2.0
 
 
