@@ -47,13 +47,15 @@ PEAK_FLOPS = {
     "cpu": 1e11,  # nominal, so MFU stays defined on CPU runs
 }
 
+#: benchmark order = headline first, cheapest compiles first — so a
+#: timeout-bounded run still ends on a complete cumulative headline line
 CONFIGS = {
-    "HalfUNet": ((512, 640), {"num_filters": 64}),
-    "UNetRPP": ((512, 640), {"hidden_size": 256, "downsampling_rate": 4}),
-    "GraphLAM": ((500, 500), {"hidden_dims": 64, "processor_layers": 4,
-                              "mesh_levels": 3}),
     "HiLAM": ((500, 500), {"hidden_dims": 64, "processor_layers": 4,
                            "mesh_levels": 3}),
+    "GraphLAM": ((500, 500), {"hidden_dims": 64, "processor_layers": 4,
+                              "mesh_levels": 3}),
+    "HalfUNet": ((512, 640), {"num_filters": 64}),
+    "UNetRPP": ((512, 640), {"hidden_size": 256, "downsampling_rate": 4}),
 }
 
 
@@ -182,6 +184,20 @@ def main():
     mode = os.environ.get("BENCH_MODE", "scan")
     only = os.environ.get("BENCH_MODEL")
 
+    def headline_line(results):
+        # like-for-like HiLAM vs the reference HiLAM baseline, carrying
+        # every model measured so far — printed cumulatively after each
+        # model, so even a timeout-killed run ends on a complete record
+        ok = {m: r for m, r in results.items() if "error" not in r} or results
+        head = ok.get(HEADLINE_MODEL, list(ok.values())[-1])
+        headline = dict(head)
+        headline["models"] = {
+            m: {k: r[k] for k in ("value", "vs_baseline", "mfu",
+                                  "compile_seconds", "error") if k in r}
+            for m, r in results.items()
+        }
+        return json.dumps(headline)
+
     models = [only] if only else list(CONFIGS)
     results = {}
     for model in models:
@@ -194,17 +210,7 @@ def main():
                  "error": f"{type(e).__name__}: {e}"[:300]}
         results[model] = r
         print(json.dumps(r), flush=True)
-
-    # headline: like-for-like HiLAM vs the reference HiLAM baseline
-    ok = {m: r for m, r in results.items() if "error" not in r} or results
-    head = ok.get(HEADLINE_MODEL, list(ok.values())[-1])
-    headline = dict(head)
-    headline["models"] = {
-        m: {k: r[k] for k in ("value", "vs_baseline", "mfu",
-                              "compile_seconds", "error") if k in r}
-        for m, r in results.items()
-    }
-    print(json.dumps(headline), flush=True)
+        print(headline_line(results), flush=True)
 
 
 if __name__ == "__main__":
