@@ -115,11 +115,14 @@ def bench_model(model: str, batch_size: int, n_steps: int, precision: str,
     lowered_one = jax.jit(one_step).lower(state)
     ca = lowered_one.cost_analysis()
     compiled_one = None
+    compile_s_one = 0.0
     if ca is None:
+        t0 = time.perf_counter()
         compiled_one = lowered_one.compile()
+        compile_s_one = time.perf_counter() - t0
         ca = compiled_one.cost_analysis()
     if isinstance(ca, list):
-        ca = ca[0]
+        ca = ca[0] if ca else {}
     ca = ca or {}
     flops_per_step = float(ca.get("flops", 0.0))
     bytes_per_step = float(ca.get("bytes accessed", 0.0))
@@ -145,7 +148,7 @@ def bench_model(model: str, batch_size: int, n_steps: int, precision: str,
         t0 = time.perf_counter()
         if compiled_one is None:
             compiled_one = lowered_one.compile()
-        compile_s = time.perf_counter() - t0
+        compile_s = (time.perf_counter() - t0) + compile_s_one
         for _ in range(3):
             state, loss = compiled_one(state)
         float(loss)
@@ -205,7 +208,9 @@ def main():
             r = bench_model(model, batch_size, n_steps, precision, mode)
         except Exception as e:  # one broken model must not kill the headline
             traceback.print_exc(file=sys.stderr)
-            r = {"metric": f"{model.lower()}_train_samples_per_sec_per_chip",
+            grid = CONFIGS.get(model, ((0, 0),))[0]
+            r = {"metric": (f"{model.lower()}_{grid[0]}x{grid[1]}"
+                            f"_train_samples_per_sec_per_chip"),
                  "value": 0.0, "unit": "samples/s", "vs_baseline": 0.0,
                  "error": f"{type(e).__name__}: {e}"[:300]}
         results[model] = r

@@ -179,10 +179,9 @@ class TitanAccessor(DataAccessor):
             # batch all validity times through the native parallel reader
             from py4cast_tpu.native import read_npy_float32_batch
 
-            paths = [
-                cls._date_filepath(dataset_name, param, date, "npy")
-                for date in timestamps.validity_times
-            ]
+            paths = cls.file_paths_for(
+                dataset_name, param, timestamps, member, "npy"
+            )
             probe = np.load(paths[0], mmap_mode="r")
             batch = read_npy_float32_batch(paths, probe.shape)
             return batch[..., None]

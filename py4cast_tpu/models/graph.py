@@ -1221,7 +1221,7 @@ class GraphLAM(_GraphModelBase):
     @nn.compact
     def __call__(self, x, graph_arrays=None, deterministic: bool = True):
         garr = self._garr(graph_arrays, dtype=x.dtype)
-        if self._lattice_on(need_multi=True):
+        if self._lattice_on(need_multi=self._lattice_need_multi):
             return self._lattice_forward(garr, x)
         grid_v, mesh_v = self._embed(x, garr, num_levels=1)
         return self._multimesh_process(garr, grid_v, mesh_v[0])
@@ -1265,7 +1265,7 @@ class HiLAM(_GraphModelBase):
         garr = self._garr(graph_arrays, dtype=x.dtype)
         g, s = self.graph, self.settings
         b = x.shape[0]
-        if self._lattice_on():
+        if self._lattice_on(need_multi=self._lattice_need_multi):
             return self._lattice_forward(garr, x)
         grid_v, mesh_v = self._embed(x, garr)
         mesh_v[0] = self._g2m(garr, grid_v, mesh_v[0])
@@ -1411,7 +1411,7 @@ class HiLAMParallel(_GraphModelBase):
         garr = self._garr(graph_arrays, dtype=x.dtype)
         g, s = self.graph, self.settings
         b = x.shape[0]
-        if self._lattice_on():
+        if self._lattice_on(need_multi=self._lattice_need_multi):
             return self._lattice_forward(garr, x)
         grid_v, mesh_v = self._embed(x, garr)
         mesh_v[0] = self._g2m(garr, grid_v, mesh_v[0])

@@ -172,8 +172,9 @@ class AutoRegressiveModule:
         self.interior_mask_np = np.asarray(statics.interior_mask, np.float32)
         # batches are (B, T, lat, lon, F) for grid models and
         # (B, T, ngrid, F) for GRAPH; either way axis 2 is the one the
-        # spatial mesh axis shards (contiguous ngrid shards = lat bands)
-        self._batch_lat_axis = 2 if spatial_shards > 1 or not self.is_graph else None
+        # spatial mesh axis shards (contiguous ngrid shards = lat bands;
+        # batch_sharding ignores the axis when the mesh has spatial=1)
+        self._batch_lat_axis = 2
 
         out_names = tuple(dataset_info.output_feature_names)
         forcing_names = tuple(dataset_info.forcing_feature_names)

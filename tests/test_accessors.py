@@ -93,6 +93,7 @@ def test_titan_dataset_builds_and_loads(titan_data):
 
 def test_titan_weight_per_level(titan_data):
     assert titan_data.get_weight_per_level(500, "isobaricInhPa") == 1.5
+    assert titan_data.get_weight_per_level(2, "heightAboveGround") == 2.0
 
 
 def test_titan_fused_batch_read_matches_per_param(titan_data):
@@ -113,7 +114,6 @@ def test_titan_fused_batch_read_matches_per_param(titan_data):
             p, sample._param_stamps(p), standardize=False
         )
         np.testing.assert_array_equal(batched[name], ref)
-    assert titan_data.get_weight_per_level(2, "heightAboveGround") == 2.0
 
 
 def test_titan_grid_geometry():
