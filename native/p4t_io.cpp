@@ -107,6 +107,34 @@ int read_npy_f32(const char* path, float* out, int64_t expected_elems) {
     std::fclose(f);
     return 5;  // only C-order little-endian float32 supported
   }
+  // Validate the declared shape against the caller's expectation: a file
+  // with MORE elements than expected would otherwise silently fill the
+  // batch buffer with truncated data (the batch reader assumes every
+  // file matches the probed shape of the first one).
+  const size_t shape_pos = header.find("'shape': (");
+  if (shape_pos == std::string::npos) {
+    std::fclose(f);
+    return 5;
+  }
+  int64_t elems = 1;
+  bool any_dim = false;
+  for (size_t i = shape_pos + 10; i < header.size() && header[i] != ')';) {
+    if (header[i] >= '0' && header[i] <= '9') {
+      int64_t d = 0;
+      while (i < header.size() && header[i] >= '0' && header[i] <= '9') {
+        d = d * 10 + (header[i] - '0');
+        ++i;
+      }
+      elems *= d;
+      any_dim = true;
+    } else {
+      ++i;
+    }
+  }
+  if (any_dim && elems != expected_elems) {
+    std::fclose(f);
+    return 7;  // shape mismatch vs the probed batch item shape
+  }
   const size_t want = size_t(expected_elems) * sizeof(float);
   const size_t got = std::fread(out, 1, want, f);
   std::fclose(f);
@@ -146,6 +174,6 @@ int p4t_read_npy_batch(const char** paths, int n, float* out,
 }
 
 // Version / health probe for the ctypes binding.
-int p4t_version() { return 1; }
+int p4t_version() { return 2; }
 
 }  // extern "C"

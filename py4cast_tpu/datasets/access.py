@@ -460,7 +460,16 @@ class DataAccessor(ABC):
         paths, Sample.load fuses ALL of them into ONE parallel native
         batch read (native/p4t_io.cpp) instead of one small call per
         param — the thread pool only saturates with a whole sample's
-        worth of files."""
+        worth of files.
+
+        CONTRACT: the returned files must be consumable RAW — the fused
+        path memcpys float32 payloads straight into the batch buffer, so
+        any postprocessing ``load_data_from_disk`` applies (unit
+        conversion, latitude flips, regridding, …) must either be baked
+        into the files or the accessor must return None here. An
+        accessor implementing this hook should ship an equivalence test
+        against its per-param path (see
+        tests/test_native.py::test_titan_fused_batch_read_matches_per_param)."""
         return None
 
     @abstractmethod

@@ -18,7 +18,7 @@ from typing import Iterator, List, Optional
 
 import numpy as np
 
-from py4cast_tpu.datasets.base import Item, ItemBatch, collate_fn
+from py4cast_tpu.datasets.base import ItemBatch, collate_fn
 
 _STOP = object()
 
@@ -66,10 +66,6 @@ class DataLoader:
         return [
             idx[i * self.batch_size : (i + 1) * self.batch_size] for i in range(nb)
         ]
-
-    def _load_batch(self, indices: np.ndarray) -> ItemBatch:
-        items: List[Item] = [self.dataset[int(i)] for i in indices]
-        return collate_fn(items)
 
     def __iter__(self) -> Iterator[ItemBatch]:
         batches = self._batch_indices()

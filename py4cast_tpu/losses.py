@@ -39,6 +39,10 @@ def _spatial_axes(ndim: int) -> Tuple[int, ...]:
 class Py4CastLoss:
     """Base: resolves the elementwise loss by name (reference: losses.py:25-31)."""
 
+    #: shape of __call__'s return — "bt" for (B, T), "btf" for (B, T, F).
+    #: CombinedLoss can only sum members with the SAME output shape.
+    output_shape: str = "bt"
+
     def __init__(self, loss: str = "MSELoss", reduction: str = "none", **_):
         if loss not in ELEMENTWISE:
             raise NameError(f"Loss: {loss} is not defined; known: {list(ELEMENTWISE)}")
@@ -100,6 +104,8 @@ class WeightedLoss(Py4CastLoss):
 class ScaledLoss(Py4CastLoss):
     """Per-feature std-rescaled loss → (B, T, F); sqrt for MSE (→RMSE)
     (reference: losses.py:172-210)."""
+
+    output_shape = "btf"
 
     def prepare(self, interior_mask, dataset_info, feature_names: Sequence[str]):
         w = np.asarray(
@@ -251,6 +257,17 @@ class CombinedLoss(Py4CastLoss):
             weight = conf.get("weight", 1.0)
             kwargs = conf.get("params", {})
             self.losses.append((kls(**kwargs), weight))
+        # members must agree on output shape — (B,T) + (B,T,F) would
+        # broadcast-crash at train time (the reference has the same
+        # latent flaw, losses.py:299-307); reject at config time instead
+        shapes = {type(l).__name__: l.output_shape for l, _ in self.losses}
+        if len(set(shapes.values())) > 1:
+            raise ValueError(
+                f"CombinedLoss members return incompatible shapes and "
+                f"cannot be summed: {shapes} — combine only losses with "
+                f"matching output shape ('bt': WeightedLoss/Perceptual, "
+                f"'btf': ScaledLoss)"
+            )
 
     def prepare(self, interior_mask, dataset_info, feature_names: Sequence[str]):
         for loss, _ in self.losses:

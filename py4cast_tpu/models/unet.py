@@ -358,7 +358,7 @@ class CustomUNet(ModelBase):
             y = ConvBlock(ch)(y)
         # final upsample back to input resolution (stem halved it)
         y = _upsample(y, 2)
-        y = ConvBlock(dec[-1] if len(dec) > len(skips) else dec[-1])(y)
+        y = ConvBlock(dec[-1])(y)
         y = nn.Conv(self.num_output_features, (1, 1))(y)
         if s.autopad_enabled:
             y = crop_to(y, hw)

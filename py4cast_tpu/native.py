@@ -20,9 +20,35 @@ import numpy as np
 
 _NATIVE_DIR = Path(__file__).resolve().parent.parent / "native"
 _LIB_PATH = _NATIVE_DIR / "libp4tio.so"
+_ABI_VERSION = 2  # must match p4t_version() in native/p4t_io.cpp
 _lock = threading.Lock()
 _lib = None
 _tried = False
+
+
+def _build(force: bool = False) -> bool:
+    cmd = ["make", "-C", str(_NATIVE_DIR)] + (["-B"] if force else [])
+    try:
+        subprocess.run(cmd, check=True, capture_output=True, timeout=120)
+        return True
+    except (OSError, subprocess.SubprocessError) as e:
+        warnings.warn(
+            f"native I/O core unavailable (build failed: {e}); "
+            f"falling back to numpy reads"
+        )
+        return False
+
+
+def _bind(path: Path) -> ctypes.CDLL:
+    lib = ctypes.CDLL(str(path))
+    lib.p4t_read_npy_batch.restype = ctypes.c_int
+    lib.p4t_read_npy_batch.argtypes = [
+        ctypes.POINTER(ctypes.c_char_p),
+        ctypes.c_int,
+        ctypes.POINTER(ctypes.c_float),
+        ctypes.c_int64,
+    ]
+    return lib
 
 
 def _load() -> Optional[ctypes.CDLL]:
@@ -31,30 +57,17 @@ def _load() -> Optional[ctypes.CDLL]:
         if _tried:
             return _lib
         _tried = True
-        if not _LIB_PATH.exists():
-            try:
-                subprocess.run(
-                    ["make", "-C", str(_NATIVE_DIR)],
-                    check=True,
-                    capture_output=True,
-                    timeout=120,
-                )
-            except (OSError, subprocess.SubprocessError) as e:
-                warnings.warn(
-                    f"native I/O core unavailable (build failed: {e}); "
-                    f"falling back to numpy reads"
-                )
-                return None
+        if not _LIB_PATH.exists() and not _build():
+            return None
         try:
-            lib = ctypes.CDLL(str(_LIB_PATH))
-            lib.p4t_read_npy_batch.restype = ctypes.c_int
-            lib.p4t_read_npy_batch.argtypes = [
-                ctypes.POINTER(ctypes.c_char_p),
-                ctypes.c_int,
-                ctypes.POINTER(ctypes.c_float),
-                ctypes.c_int64,
-            ]
-            assert lib.p4t_version() == 1
+            lib = _bind(_LIB_PATH)
+            if lib.p4t_version() != _ABI_VERSION:
+                # stale build from an older binding — rebuild in place
+                del lib
+                if not _build(force=True):
+                    return None
+                lib = _bind(_LIB_PATH)
+                assert lib.p4t_version() == _ABI_VERSION
             _lib = lib
         except (OSError, AssertionError) as e:
             warnings.warn(f"native I/O core failed to load: {e}")
@@ -93,5 +106,11 @@ def read_npy_float32_batch(
             f"falling back to numpy"
         )
     for i, p in enumerate(paths):
-        out[i] = np.load(p)
+        arr = np.load(p)
+        if arr.shape != tuple(item_shape):
+            raise ValueError(
+                f"npy batch shape mismatch: {p} has {arr.shape}, "
+                f"expected {tuple(item_shape)}"
+            )
+        out[i] = arr
     return out

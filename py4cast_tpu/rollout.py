@@ -63,15 +63,34 @@ class RolloutConfig:
 
 
 def common_features_index(
-    output_feature_names: Sequence[str], forcing_feature_names: Sequence[str]
+    output_feature_names: Sequence[str],
+    forcing_feature_names: Sequence[str],
+    strict: bool = False,
 ) -> Tuple[int, ...]:
     """Forcing index for each output feature, matched on the name suffix
-    (level + level_type). (reference: lightning.py:546-558)"""
+    (level + level_type). (reference: lightning.py:546-558)
+
+    With ``strict`` (set when the strategy actually consumes the index,
+    i.e. downscaling_only), an output feature matching zero or multiple
+    forcings raises instead of silently yielding a wrong-length tuple —
+    the reference shares the fragility (lightning.py:546-558) but a
+    misaligned index there adds the WRONG coarse field to the residual.
+    """
     idx = []
     for out_name in output_feature_names:
-        for i, f_name in enumerate(forcing_feature_names):
-            if out_name.split("_")[1:] == f_name.split("_")[1:]:
-                idx.append(i)
+        matches = [
+            i
+            for i, f_name in enumerate(forcing_feature_names)
+            if out_name.split("_")[1:] == f_name.split("_")[1:]
+        ]
+        if strict and len(matches) != 1:
+            raise ValueError(
+                f"downscaling_only needs exactly ONE forcing feature whose "
+                f"level/level_type suffix matches output feature "
+                f"{out_name!r}; found {len(matches)}: "
+                f"{[forcing_feature_names[i] for i in matches]}"
+            )
+        idx.extend(matches)
     return tuple(idx)
 
 

@@ -195,7 +195,10 @@ class AutoRegressiveModule:
             num_input_steps=settings.num_input_steps,
             mask_on_nan=settings.mask_on_nan,
             mask_ratio=settings.mask_ratio,
-            common_features_idx=common_features_index(out_names, forcing_names),
+            common_features_idx=common_features_index(
+                out_names, forcing_names,
+                strict=settings.training_strategy == "downscaling_only",
+            ),
         )
 
         # --- loss (reference: lightning.py:305-306) ---

@@ -54,3 +54,16 @@ def test_native_is_at_least_as_fast(npy_files):
     t_numpy = time.perf_counter() - t0
     # allow generous slack — this guards against pathological regressions only
     assert t_native < t_numpy * 3
+
+def test_shape_mismatch_raises_not_silent(tmp_path):
+    """ADVICE r2: a file whose shape differs from the probed batch shape
+    must raise (or fall back and raise), never silently fill the buffer
+    with truncated data."""
+    good = tmp_path / "good.npy"
+    big = tmp_path / "big.npy"
+    np.save(good, np.zeros((2, 3), np.float32))
+    # MORE elements than expected: byte-count reads would succeed silently
+    np.save(big, np.ones((4, 3), np.float32))
+    with pytest.raises(ValueError, match="shape mismatch"):
+        with pytest.warns(UserWarning, match="falling back"):
+            read_npy_float32_batch([good, big], (2, 3))

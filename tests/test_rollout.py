@@ -228,3 +228,35 @@ def test_rollout_is_jittable_and_scans():
         jnp.asarray(rng.standard_normal((B, 4, H, W, F)), jnp.float32),
     )
     assert preds.shape == (B, 4, H, W, F)
+
+
+def test_common_features_index_strict_validation():
+    """VERDICT r2: downscaling_only must refuse silently-misaligned
+    coarse-field indices (zero or multiple suffix matches per output)."""
+    from py4cast_tpu.rollout import common_features_index
+
+    # match key is the level+level_type SUFFIX (everything after the
+    # first "_" token), reference lightning.py:546-558
+    outs = ("t2m_2_heightAboveGround", "u10_10_heightAboveGround")
+    # happy path: exactly one match each
+    forcings = (
+        "arpt2m_2_heightAboveGround",
+        "arpu10_10_heightAboveGround",
+        "solar_toa",
+    )
+    assert common_features_index(outs, forcings, strict=True) == (0, 1)
+    # zero matches for u10
+    with pytest.raises(ValueError, match="exactly ONE forcing"):
+        common_features_index(
+            outs, ("arpt2m_2_heightAboveGround", "solar_toa"), strict=True
+        )
+    # duplicate matches for t2m
+    with pytest.raises(ValueError, match="exactly ONE forcing"):
+        common_features_index(
+            outs,
+            ("arpt2m_2_heightAboveGround", "aromet2m_2_heightAboveGround",
+             "arpu10_10_heightAboveGround"),
+            strict=True,
+        )
+    # non-strict (index unused by scaled_ar/diff_ar): lenient as before
+    assert common_features_index(outs, ("solar_toa",), strict=False) == ()
