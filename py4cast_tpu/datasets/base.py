@@ -90,11 +90,24 @@ class Item:
 
 @dataclass
 class ItemBatch(Item):
-    """A batch of items with a leading `batch` dim on each NamedArray."""
+    """A batch of items with a leading `batch` dim on each NamedArray.
+
+    ``num_valid`` < batch_size marks a PADDED final batch (eval loaders
+    keep shapes static by repeating the last sample; reference torch
+    DataLoader instead runs a smaller final batch,
+    /root/reference/py4cast/datasets/base.py:735-743). Consumers must
+    score/export only the first ``valid_count`` rows.
+    """
+
+    num_valid: Optional[int] = None
 
     @cached_property
     def batch_size(self) -> int:
         return self.outputs.dim_size("batch")
+
+    @property
+    def valid_count(self) -> int:
+        return self.batch_size if self.num_valid is None else self.num_valid
 
     @cached_property
     def num_input_steps(self) -> int:
@@ -107,7 +120,7 @@ class ItemBatch(Item):
         return self.outputs.dim_size("timestep")
 
 
-def collate_fn(items: List[Item]) -> ItemBatch:
+def collate_fn(items: List[Item], num_valid: Optional[int] = None) -> ItemBatch:
     """Stack a list of Items into an ItemBatch with a leading batch dim.
 
     (reference: datasets/base.py:173-195)
@@ -128,6 +141,7 @@ def collate_fn(items: List[Item]) -> ItemBatch:
         forcing=_stack("forcing"),
         outputs=_stack("outputs"),
         validity_times=[it.validity_times for it in items],
+        num_valid=num_valid,
     )
 
 
@@ -470,6 +484,7 @@ class WeatherDataset:
         prefetch: int = 2,
         seed: int = 0,
         drop_last: bool = True,
+        pad_last: bool = False,
     ):
         from py4cast_tpu.datasets.loader import DataLoader
 
@@ -481,6 +496,7 @@ class WeatherDataset:
             prefetch=prefetch,
             seed=seed,
             drop_last=drop_last,
+            pad_last=pad_last,
         )
 
     # -------------------------------------------------------------- derived

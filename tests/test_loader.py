@@ -6,6 +6,7 @@ import numpy as np
 import pytest
 
 from py4cast_tpu.datasets import get_datasets
+from py4cast_tpu.datasets.loader import DataLoader
 
 
 @pytest.fixture(scope="module")
@@ -125,3 +126,49 @@ def test_checkpoint_best_tracks_minimum(tmp_path):
     restored = ckpt.restore("best", {"w": np.empty(3)})
     np.testing.assert_array_equal(restored["w"], np.zeros(3))
     assert ckpt.read_manifest() == {"x": 1}
+
+
+class _RangeDataset:
+    """Tiny fake dataset: sample i is a constant-i field."""
+
+    def __init__(self, n: int):
+        self.n = n
+
+    def __len__(self):
+        return self.n
+
+    def __getitem__(self, i):
+        import datetime as dt
+
+        from py4cast_tpu.datasets.base import Item
+        from py4cast_tpu.named_tensor import NamedArray
+
+        arr = np.full((1, 2, 2, 1), float(i), np.float32)
+        na = NamedArray(arr, ("timestep", "lat", "lon", "features"), ("f",))
+        return Item(
+            inputs=None, forcing=None, outputs=na,
+            validity_times=[dt.datetime(2020, 1, 1) + dt.timedelta(hours=i)],
+        )
+
+
+def test_pad_last_pads_and_marks_valid_count():
+    """pad_last keeps batch shapes static and exposes the real row count."""
+    ds = _RangeDataset(7)
+    loader = DataLoader(ds, batch_size=4, drop_last=False, pad_last=True)
+    batches = list(loader)
+    assert len(batches) == 2
+    assert batches[0].batch_size == 4 and batches[0].valid_count == 4
+    assert batches[1].batch_size == 4 and batches[1].valid_count == 3
+    # the pad row repeats the last real sample
+    np.testing.assert_array_equal(
+        np.asarray(batches[1].outputs.array)[3],
+        np.asarray(batches[1].outputs.array)[2],
+    )
+
+
+def test_drop_last_false_without_pad_yields_short_tail():
+    ds = _RangeDataset(7)
+    loader = DataLoader(ds, batch_size=4, drop_last=False)
+    batches = list(loader)
+    assert [b.batch_size for b in batches] == [4, 3]
+    assert all(b.num_valid is None for b in batches)

@@ -120,3 +120,47 @@ def test_fast_dev_run(datasets, tmp_path):
     module = AutoRegressiveModule(_settings(), train_ds.dataset_info)
     trainer = _trainer(tmp_path, fast_dev_run=True)
     trainer.fit(module, train_ds, val_ds)
+
+
+def test_eval_scores_every_sample_with_padded_tail(datasets, tmp_path):
+    """VERDICT r2 #4: a 7-sample dataset at batch_size 4 must yield
+    7-sample statistics and 7 exported products — the tail batch is
+    padded (static shapes) and the padding masked out, not dropped
+    (reference scores every sample: torch drop_last=False,
+    datasets/base.py:735-743)."""
+    import copy
+
+    train_ds, val_ds, test_ds = datasets
+    small = copy.copy(test_ds)
+    small.__dict__["sample_list"] = list(test_ds.sample_list)[:7]
+
+    import jax
+
+    from py4cast_tpu.parallel.mesh import MeshConfig, make_mesh
+
+    module = AutoRegressiveModule(
+        _settings(training_strategy="diff_ar"), train_ds.dataset_info,
+        mesh=make_mesh(MeshConfig(data_parallel=1), jax.devices()[:1]),
+    )
+    state = module.init_state(jax.random.key(0), num_training_steps=1)
+
+    t4 = _trainer(
+        tmp_path / "b4", batch_size=4, limit_val_batches=None,
+        logging_enabled=False,
+    )
+    preds = t4.predict(module, small, state)
+    assert sum(p.dim_size("batch") for p in preds) == 7  # 4 + 3
+    scores4 = t4.test(module, small, state)
+
+    # padding must not contaminate statistics: batch_size 1 (no padding,
+    # 7 full batches) gives the same per-timestep means
+    t1 = _trainer(
+        tmp_path / "b1", batch_size=1, limit_val_batches=None,
+        logging_enabled=False,
+    )
+    scores1 = t1.test(module, small, state)
+    for k in scores1:
+        if k.startswith("timestep_losses/") or k == "test_mean_loss":
+            np.testing.assert_allclose(
+                scores4[k], scores1[k], rtol=2e-5, err_msg=k
+            )
