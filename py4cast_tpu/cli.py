@@ -50,6 +50,9 @@ class DataConfig:
     save_gifs: bool = False
     save_gribs: bool = False
     list_run_hour: Optional[List[int]] = None
+    # raw-weight injection into the restored state — escape hatch for
+    # stale checkpoints (reference: use_old_weights, lightning.py:1105-1116)
+    use_old_weights: Optional[str] = None
 
 
 class DataModule:
@@ -135,15 +138,53 @@ def _filter_fields(kls, d: dict) -> dict:
     return d
 
 
-def build_all(conf: dict):
+def _load_ckpt_manifest(conf: dict) -> Optional[dict]:
+    """The manifest.json written next to the run's checkpoints, resolved
+    from trainer.ckpt_path / trainer.save_path (None when absent)."""
+    from py4cast_tpu.checkpoint import load_manifest
+
+    trainer_conf = conf.get("trainer", {})
+    ckpt_path = str(trainer_conf.get("ckpt_path", "last"))
+    base = Path(str(trainer_conf.get("save_path", "runs/default"))) / "checkpoints"
+    cand = base / ckpt_path
+    target = cand if cand.exists() else Path(ckpt_path)
+    try:
+        return load_manifest(target)
+    except FileNotFoundError:
+        return None
+
+
+def build_all(conf: dict, manifest: Optional[dict] = None):
+    """Build datamodule + module + trainer from the composed config.
+
+    When ``manifest`` is given (test/predict), the MODEL is rebuilt from
+    the checkpoint's stored training settings — not the current config —
+    and the dataset is validated against the stored feature/stats
+    contract (reference: names stored in the ckpt, lightning.py:338-354,
+    checked at predict, :1123-1128). A train/predict config drift then
+    fails loudly instead of silently mis-normalizing.
+    """
     data_cfg = DataConfig(**_filter_fields(DataConfig, conf.get("data", {})))
     dm = DataModule(data_cfg)
 
-    model_conf = dict(conf.get("model", {}))
-    # linked arguments (reference: cli.py:22-57)
-    model_conf.setdefault("num_input_steps", data_cfg.num_input_steps)
-    model_conf.setdefault("num_pred_steps_train", data_cfg.num_pred_steps_train)
-    model_conf.setdefault("num_pred_steps_val_test", data_cfg.num_pred_steps_val_test)
+    if manifest is not None:
+        from py4cast_tpu.training import check_manifest_contract
+
+        model_conf = dict(manifest["training_settings"])
+        # inference-time knobs stay CLI-overridable; everything
+        # structural (model, strategy, steps, …) comes from the ckpt
+        for key in ("io_conf", "num_samples_to_plot"):
+            if key in conf.get("model", {}):
+                model_conf[key] = conf["model"][key]
+        check_manifest_contract(manifest, dm.train_dataset_info)
+    else:
+        model_conf = dict(conf.get("model", {}))
+        # linked arguments (reference: cli.py:22-57)
+        model_conf.setdefault("num_input_steps", data_cfg.num_input_steps)
+        model_conf.setdefault("num_pred_steps_train", data_cfg.num_pred_steps_train)
+        model_conf.setdefault(
+            "num_pred_steps_val_test", data_cfg.num_pred_steps_val_test
+        )
     if "betas" in model_conf:
         model_conf["betas"] = tuple(model_conf["betas"])
     settings = TrainingSettings(**_filter_fields(TrainingSettings, model_conf))
@@ -174,7 +215,16 @@ def _restore_state(module: AutoRegressiveModule, trainer: Trainer, ckpt_path: st
 
 def main(argv: Optional[List[str]] = None) -> int:
     subcommand, conf = parse_cli(argv if argv is not None else sys.argv[1:])
-    dm, module, trainer, ckpt_path = build_all(conf)
+    manifest = None
+    if subcommand in ("test", "predict"):
+        manifest = _load_ckpt_manifest(conf)
+        if manifest is None:
+            print(
+                "WARNING: no manifest.json next to the checkpoint — "
+                "rebuilding the model from the CURRENT config without a "
+                "train/predict contract check"
+            )
+    dm, module, trainer, ckpt_path = build_all(conf, manifest=manifest)
 
     if subcommand == "fit":
         trainer.fit(module, dm.train_ds, dm.val_ds, ckpt_path=ckpt_path)
@@ -188,6 +238,9 @@ def main(argv: Optional[List[str]] = None) -> int:
         if not ckpt_path:
             raise SystemExit("predict requires --trainer.ckpt_path")
         state = _restore_state(module, trainer, ckpt_path)
+        if dm.cfg.use_old_weights:
+            state = module.load_raw_params(state, dm.cfg.use_old_weights)
+            print(f"Injected raw params from {dm.cfg.use_old_weights}")
         infer_ds = dm.infer_ds
         if dm.cfg.list_run_hour:
             # keep only samples whose run hour is requested

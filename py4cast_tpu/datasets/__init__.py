@@ -76,6 +76,12 @@ def get_datasets(
             num_pred_steps_val_test,
             config_override,
         )
+    if config_override is not None:
+        # same override semantics as the json path (reference:
+        # base.py:930-933 applies merge_dicts on every construction path)
+        from py4cast_tpu.utils import merge_dicts
+
+        dataset_conf = merge_dicts(dataset_conf, config_override)
     return WeatherDataset.from_dict(
         accessor_kls,
         name,

@@ -596,6 +596,57 @@ class AutoRegressiveModule:
         }
 
 
+def check_manifest_contract(manifest: dict, dataset_info: DatasetInfo):
+    """Validate a dataset against a trained artifact's stored contract.
+
+    The reference stores feature names in the checkpoint
+    (lightning.py:338-354) and checks them at predict (:1123-1128); here
+    the manifest additionally pins normalization stats and grid shape,
+    so a train/predict drift in ANY of them errors loudly instead of
+    silently mis-normalizing predictions.
+    """
+    problems = []
+    out_names = list(dataset_info.output_feature_names)
+    if out_names != list(manifest["output_feature_names"]):
+        problems.append(
+            f"output features differ: trained on "
+            f"{manifest['output_feature_names']}, dataset provides {out_names}"
+        )
+    forcing = list(dataset_info.forcing_feature_names)
+    if forcing != list(manifest.get("forcing_feature_names", forcing)):
+        problems.append(
+            f"forcing features differ: trained on "
+            f"{manifest['forcing_feature_names']}, dataset provides {forcing}"
+        )
+    grid = list(dataset_info.statics.grid_shape)
+    if grid != list(manifest.get("grid_shape", grid)):
+        problems.append(
+            f"grid shape differs: trained on {manifest['grid_shape']}, "
+            f"dataset provides {grid}"
+        )
+    drifted = []
+    for name, stored in manifest.get("stats", {}).items():
+        if name not in out_names:
+            continue
+        current = dataset_info.stats[name]
+        for key in ("mean", "std"):
+            if key in stored and not np.isclose(
+                float(stored[key]), float(current[key]), rtol=1e-5, atol=1e-8
+            ):
+                drifted.append(
+                    f"{name}.{key}: ckpt {float(stored[key]):.6g} vs "
+                    f"dataset {float(current[key]):.6g}"
+                )
+    if drifted:
+        problems.append("normalization stats drifted: " + "; ".join(drifted))
+    if problems:
+        raise ValueError(
+            "Checkpoint/dataset contract mismatch — the restored model "
+            "was trained under a different data contract:\n- "
+            + "\n- ".join(problems)
+        )
+
+
 @dataclass
 class TrainerConfig:
     """The `trainer:` config section (reference: config/CLI/trainer.yaml)."""

@@ -107,3 +107,63 @@ def test_cli_fit_then_test_then_predict(tmp_path):
 def test_cli_unknown_key_rejected(tmp_path):
     with pytest.raises(SystemExit):
         main(["fit"] + _base_args(tmp_path) + ["--trainer.not_a_knob", "1"])
+
+
+def test_predict_uses_manifest_and_rejects_mutated_config(tmp_path):
+    """VERDICT r2 #5: test/predict rebuild the model from the manifest
+    stored with the checkpoint and hard-error when the dataset no longer
+    matches the trained contract (reference: names stored in the ckpt,
+    lightning.py:338-354, 1123-1128)."""
+    main(["fit"] + _base_args(tmp_path) + [
+        "--trainer.max_epochs", "1",
+        "--trainer.limit_train_batches", "1",
+        "--trainer.limit_val_batches", "1",
+    ])
+    ckpt = tmp_path / "run" / "checkpoints" / "last"
+
+    # config B mutates the grid (32x32 subdomain) → loud contract error
+    with pytest.raises(ValueError, match="contract mismatch"):
+        main(["predict"] + _base_args(tmp_path) + [
+            "--trainer.ckpt_path", str(ckpt),
+            "--data.config_override", '{"grid": {"subdomain": [0, 32, 0, 32]}}',
+        ])
+
+    # manifest drives the rebuild: a config-B model section is IGNORED at
+    # predict (settings come from the checkpoint) — this must not crash
+    # with a shape mismatch even though the config now claims 32 filters
+    main(["predict"] + _base_args(tmp_path) + [
+        "--trainer.ckpt_path", str(ckpt),
+        "--trainer.limit_val_batches", "1",
+        "--model.settings_init_args.num_filters", "32",
+    ])
+    assert (tmp_path / "run" / "predictions").exists()
+
+    # --data.use_old_weights injects raw params into the restored state
+    # (reference: lightning.py:1105-1116)
+    main(["predict"] + _base_args(tmp_path) + [
+        "--trainer.ckpt_path", str(ckpt),
+        "--data.use_old_weights", str(ckpt),
+    ])
+
+
+def test_check_manifest_contract_stats_drift():
+    """Normalization-stat drift between train and predict must raise."""
+    from py4cast_tpu.datasets import get_datasets
+    from py4cast_tpu.training import check_manifest_contract
+
+    train_ds, _, _ = get_datasets("dummy", 2, 1, 1)
+    info = train_ds.dataset_info
+    manifest = {
+        "output_feature_names": list(info.output_feature_names),
+        "forcing_feature_names": list(info.forcing_feature_names),
+        "grid_shape": list(info.statics.grid_shape),
+        "stats": {
+            n: dict(info.stats[n]) for n in info.output_feature_names
+        },
+    }
+    check_manifest_contract(manifest, info)  # identical: fine
+
+    name = list(manifest["stats"])[0]
+    manifest["stats"][name]["std"] = manifest["stats"][name]["std"] * 2 + 1
+    with pytest.raises(ValueError, match="stats drifted"):
+        check_manifest_contract(manifest, info)
