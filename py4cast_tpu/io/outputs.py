@@ -355,11 +355,32 @@ def save_predictions(
                     infer_ds.grid,
                     sample.output_timestamps.validity_times,
                     settings,
-                    sample_identifiers=(
-                        sample.timestamps.datetime.strftime("%Y%m%d%H"),
-                        tag,
+                    sample_identifiers=_sample_identifiers(
+                        settings, sample, tag
                     ),
                     base_datetime=sample.timestamps.datetime,
                     time_step_hours=max(1, step_h),
                 )
         offset += batch_pred.dim_size("batch")
+
+
+def _sample_identifiers(settings: OutputSavingSettings, sample, tag: str):
+    """Resolve the settings' declared identifier names against a sample.
+
+    Mirrors the reference identifier vocabulary across its per-dataset
+    IO configs: titan uses (date, sample, leadtime), poesy
+    (runtime, member, leadtime) — reference
+    config/IO/{titan,poesy}_grib_settings.json. ``leadtime`` is appended
+    per output step by save_named_tensors_to_grib.
+    """
+    ids = []
+    for name in settings.sample_identifiers:
+        if name == "leadtime":
+            continue
+        if name in ("date", "runtime"):
+            ids.append(sample.timestamps.datetime.strftime("%Y%m%d%H"))
+        elif name == "member":
+            ids.append(getattr(sample, "member", 0))
+        else:  # "sample" and any custom identifier: the batch tag
+            ids.append(tag)
+    return tuple(ids)

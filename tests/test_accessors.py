@@ -281,3 +281,60 @@ def _write_json(tmp_path: Path, conf: dict) -> Path:
     with open(p, "w") as f:
         json.dump(conf, f)
     return p
+
+def test_poesy_grib_export_e2e(poesy_data, tmp_path):
+    """VERDICT r2 #9: export a Poesy-member prediction through the GRIB
+    codec with member-aware paths (reference:
+    config/IO/poesy_grib_settings.json, io/outputs.py:116-220)."""
+    from py4cast_tpu.datasets import get_datasets
+    from py4cast_tpu.io.grib2 import make_template, read_grib2
+    from py4cast_tpu.io.outputs import (
+        save_predictions,
+        template_fids_for_features,
+    )
+    from py4cast_tpu.named_tensor import NamedArray
+
+    _, _, test_ds = get_datasets("poesy", 1, 1, 1, dataset_conf=POESY_CONF)
+    sample = test_ds.sample_list[-1]  # a non-zero member
+    assert sample.member == 3
+
+    grid = test_ds.grid
+    lat = np.asarray(grid.lat)[:, 0]
+    lon = np.asarray(grid.lon)[0, :]
+    feats = [
+        test_ds.accessor.parameter_namer(p)
+        for p in test_ds.params
+        if p.kind in ("output", "input_output")
+    ]
+    fids = template_fids_for_features(feats)
+    assert fids, f"no GRIB ids for poesy features {feats}"
+    template = tmp_path / "poesy_template.grib"
+    make_template(template, lat, lon, fids)
+
+    conf = json.loads(
+        (Path(__file__).parent.parent / "config/IO/poesy_grib_settings.json")
+        .read_text()
+    )
+    conf["template_grib"] = str(template)
+    conf["directory"] = str(tmp_path / "gribs")
+    io_conf = tmp_path / "io.json"
+    io_conf.write_text(json.dumps(conf))
+
+    item = sample.load(no_standardize=True)
+    pred = NamedArray(
+        np.asarray(item.outputs.array)[None],
+        ("batch", "timestep", "lat", "lon", "features"),
+        item.outputs.feature_names,
+    )
+    # patch the dataset's sample list so prediction 0 IS this member
+    test_ds.__dict__["sample_list"] = [sample]
+    save_predictions(
+        [pred], test_ds, tmp_path / "out", save_gribs=True,
+        io_conf=str(io_conf),
+    )
+    gribs = sorted((tmp_path / "gribs").rglob("*.grib"))
+    assert gribs, "poesy GRIB export wrote nothing"
+    # member-aware path layout: .../mb3/...
+    assert any("/mb3/" in str(g) for g in gribs), gribs
+    fields = read_grib2(gribs[0])
+    assert fields, "exported poesy GRIB decodes to zero fields"
