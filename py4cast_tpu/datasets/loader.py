@@ -47,9 +47,36 @@ class DataLoader:
         seed: int = 0,
         drop_last: bool = True,
         pad_last: bool = False,
+        process_index: Optional[int] = None,
+        process_count: Optional[int] = None,
     ):
+        """``batch_size`` is the GLOBAL batch. Under a multi-host runtime
+        each process loads only its ``batch_size / process_count`` slice
+        of every batch (same seeded shuffle on every host → disjoint
+        slices) — the TPU-native replacement for the reference's
+        per-rank DDP sampler (SURVEY.md §2.3). Defaults read
+        ``jax.process_index()/process_count()``; pass explicitly in
+        tests."""
+        if process_count is None:
+            try:
+                import jax
+
+                process_count = jax.process_count()
+                process_index = jax.process_index()
+            except Exception:
+                process_count, process_index = 1, 0
+        elif process_index is None:
+            process_index = 0
+        if batch_size % process_count:
+            raise ValueError(
+                f"Global batch size {batch_size} is not divisible by the "
+                f"process count ({process_count})"
+            )
         self.dataset = dataset
         self.batch_size = batch_size
+        self.process_index = process_index
+        self.process_count = process_count
+        self.local_batch_size = batch_size // process_count
         self.num_workers = max(1, num_workers)
         self.shuffle = shuffle
         self.prefetch = max(1, prefetch)
@@ -65,10 +92,13 @@ class DataLoader:
         return (n + self.batch_size - 1) // self.batch_size
 
     def _batch_indices(self) -> List[Tuple[np.ndarray, int]]:
-        """Per batch: (sample indices, number of REAL samples)."""
+        """Per batch: (THIS process's sample indices, number of REAL
+        samples in the GLOBAL batch)."""
         n = len(self.dataset)
         idx = np.arange(n)
         if self.shuffle:
+            # identical across processes: same seed → same global order →
+            # disjoint per-process slices
             rng = np.random.default_rng(self.seed + self._epoch)
             rng.shuffle(idx)
         nb = len(self)
@@ -80,7 +110,13 @@ class DataLoader:
                 b = np.concatenate(
                     [b, np.full(self.batch_size - nv, b[-1], b.dtype)]
                 )
-            out.append((b, nv))
+            local = b[
+                self.process_index * self.local_batch_size
+                : (self.process_index + 1) * self.local_batch_size
+            ]
+            if len(local) == 0:
+                continue  # short non-padded tail entirely on earlier ranks
+            out.append((local, nv))
         return out
 
     def __iter__(self) -> Iterator[ItemBatch]:
@@ -119,9 +155,13 @@ class _ProducerState:
 
     def _collate(self, entry) -> ItemBatch:
         futures, num_valid = entry
+        # num_valid counts REAL samples in the GLOBAL batch (== the
+        # loader's batch_size when nothing was padded)
         return collate_fn(
             [f.result() for f in futures],
-            num_valid=None if num_valid == len(futures) else num_valid,
+            num_valid=(
+                None if num_valid == self.loader.batch_size else num_valid
+            ),
         )
 
     def _producer(self):

@@ -90,7 +90,8 @@ class WeightedLoss(Py4CastLoss):
         ).squeeze(-1)  # (*spatial,)
         self.num_interior = float(np.sum(np.asarray(interior_mask)))
 
-    def __call__(self, prediction, target, mask, reduce_spatial_dim: bool = True):
+    def __call__(self, prediction, target, mask, reduce_spatial_dim: bool = True,
+                 interior_mask=None):
         pred, tgt = prediction.array, target.array
         elem = self.elementwise(pred * mask, tgt * mask)
         weighted = jnp.sum(elem * self.weights, axis=-1)  # (B, T, *spatial)
@@ -98,7 +99,15 @@ class WeightedLoss(Py4CastLoss):
             return weighted
         denom = self._union_denominator(mask)
         sp = tuple(range(2, weighted.ndim))
-        return jnp.sum(weighted * self.interior_mask, axis=sp) / denom
+        # interior_mask threaded in by jitted callers ((*spatial, 1) —
+        # passing it as an argument keeps it out of the compiled program;
+        # the prepared copy serves host-side/plotter calls
+        im = (
+            interior_mask.squeeze(-1)
+            if interior_mask is not None
+            else self.interior_mask
+        )
+        return jnp.sum(weighted * im, axis=sp) / denom
 
 
 class ScaledLoss(Py4CastLoss):
@@ -117,12 +126,13 @@ class ScaledLoss(Py4CastLoss):
         )  # (*spatial, 1)
         self.num_interior = float(np.sum(np.asarray(interior_mask)))
 
-    def __call__(self, prediction, target, mask):
+    def __call__(self, prediction, target, mask, interior_mask=None):
         pred, tgt = prediction.array, target.array
         elem = self.elementwise(pred * mask, tgt * mask)  # (B, T, *sp, F)
         denom = self._union_denominator(mask)
         sp = _spatial_axes(elem.ndim)
-        mean_loss = jnp.sum(elem * self.interior_mask, axis=sp) / denom  # (B,T,F)
+        im = interior_mask if interior_mask is not None else self.interior_mask
+        mean_loss = jnp.sum(elem * im, axis=sp) / denom  # (B,T,F)
         if self.loss_name == "MSELoss":
             mean_loss = jnp.sqrt(mean_loss)
         return mean_loss * self.weights
@@ -218,7 +228,9 @@ class PerceptualLossPy4Cast(Py4CastLoss):
             h = h[:, ::2, ::2, :]  # stride-2 downsample between scales
         return feats
 
-    def __call__(self, prediction, target, mask):
+    def __call__(self, prediction, target, mask, interior_mask=None):
+        # perceptual features are computed on the full field; the
+        # interior_mask kwarg is accepted for CombinedLoss symmetry
         pred = self._normalize(prediction.array) * mask
         tgt = self._normalize(target.array) * mask
         b, t = pred.shape[:2]

@@ -82,19 +82,45 @@ def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
+def put_global(array, sharding: NamedSharding):
+    """Commit a host array to devices under ``sharding``, multi-host
+    aware: on a single process this is ``jax.device_put``; across
+    processes each host feeds only its ADDRESSABLE shards (device_put to
+    a remote host's devices is impossible), producing one global
+    jax.Array. Host arrays must be identical across processes for
+    replicated/statics shardings (they are: statics and params are
+    deterministically built on every host)."""
+    if jax.process_count() == 1:
+        return jax.device_put(array, sharding)
+    import numpy as _np
+
+    arr = _np.asarray(array)
+    return jax.make_array_from_callback(arr.shape, sharding, lambda idx: arr[idx])
+
+
 def shard_batch(mesh: Mesh, *arrays, lat_axis: Optional[int] = None):
-    """device_put host arrays with batch (and optionally lat) sharding —
-    one H2D transfer each, split across devices."""
+    """Commit host batch arrays with batch (and optionally lat) sharding.
+
+    Single-host: one H2D transfer each, split across devices.
+    Multi-host: each process passes its LOCAL batch rows (the loader
+    partitions the global batch by ``jax.process_index()``) and the
+    global array is assembled with
+    ``jax.make_array_from_process_local_data`` — the TPU-native
+    replacement for the reference's per-rank DDP sampler
+    (SURVEY.md §2.3)."""
     dp = mesh.shape[DATA_AXIS]
     sp = mesh.shape[SPATIAL_AXIS]
+    pc = jax.process_count()
     out = []
     for a in arrays:
         if a is None:
             out.append(None)
             continue
-        if a.shape[0] % dp:
+        global_rows = a.shape[0] * pc
+        if global_rows % dp:
             raise ValueError(
-                f"Batch size {a.shape[0]} is not divisible by the data-parallel "
+                f"Global batch size {global_rows} ({a.shape[0]} local rows "
+                f"x {pc} processes) is not divisible by the data-parallel "
                 f"mesh axis ({dp} devices); adjust batch_size or the mesh "
                 f"(MeshConfig.data_parallel)."
             )
@@ -104,6 +130,35 @@ def shard_batch(mesh: Mesh, *arrays, lat_axis: Optional[int] = None):
                 f"Spatial dim {a.shape[la]} is not divisible by the spatial "
                 f"mesh axis ({sp})."
             )
-        out.append(jax.device_put(a, batch_sharding(mesh, a.ndim, la)))
+        sharding = batch_sharding(mesh, a.ndim, la)
+        if pc == 1:
+            out.append(jax.device_put(a, sharding))
+        else:
+            import numpy as _np
+
+            out.append(
+                jax.make_array_from_process_local_data(
+                    sharding, _np.asarray(a), (global_rows,) + tuple(a.shape[1:])
+                )
+            )
     out = tuple(out)
     return out if len(out) > 1 else out[0]
+
+
+def to_host(array) -> np.ndarray:
+    """Bring a (possibly multi-host sharded) jax.Array to every host as
+    numpy — np.asarray for fully-addressable arrays, cross-process
+    allgather otherwise (the analog of the reference's sync_dist /
+    torchmetrics cross-rank reductions)."""
+    if getattr(array, "is_fully_addressable", True):
+        return np.asarray(array)
+    from jax.experimental import multihost_utils
+
+    return np.asarray(multihost_utils.process_allgather(array, tiled=True))
+
+
+def is_main_process() -> bool:
+    """Host-0 gating for writes (ckpt/logs/figures) — the analog of the
+    reference's rank-zero guards (lightning.py:141-144,
+    plots.py:285,539,621)."""
+    return jax.process_index() == 0

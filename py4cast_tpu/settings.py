@@ -19,19 +19,46 @@ RAINFALL_PATH = Path(
 )
 
 
+def _host_fingerprint() -> str:
+    """Short hash of the host CPU's capabilities. XLA:CPU cache entries
+    are AOT machine code for the COMPILING host's feature set — loading
+    them after a VM migration onto a host with different features risks
+    SIGILL (observed on this fleet: amx/avx512 feature drift between
+    rounds). Keying the cache dir by the live feature set makes stale
+    entries unreachable instead of dangerous."""
+    import hashlib
+    import platform
+
+    txt = platform.machine()
+    try:
+        with open("/proc/cpuinfo") as f:
+            for line in f:
+                if line.startswith("flags"):
+                    txt += line
+                    break
+    except OSError:
+        pass
+    return hashlib.sha256(txt.encode()).hexdigest()[:10]
+
+
 def enable_compilation_cache(path: str | None = None) -> None:
     """Turn on JAX's persistent compilation cache so repeated runs skip
     the multi-minute Mosaic/XLA compiles of the big train-step programs
     (a first-class concern on TPU: a 512×640 conv training step compiles
     in minutes cold, milliseconds warm). Called by the Trainer and by
-    bench.py; honors JAX_COMPILATION_CACHE_DIR when already set."""
+    bench.py; honors JAX_COMPILATION_CACHE_DIR when already set.
+
+    The directory is suffixed with a host-CPU fingerprint so cache
+    entries never outlive the machine generation they were AOT-compiled
+    for (see :func:`_host_fingerprint`)."""
     import jax
 
-    target = (
+    base = (
         path
         or os.environ.get("JAX_COMPILATION_CACHE_DIR")
         or str(CACHE_DIR / "xla_cache")
     )
+    target = str(Path(base) / f"host-{_host_fingerprint()}")
     try:
         jax.config.update("jax_compilation_cache_dir", target)
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)

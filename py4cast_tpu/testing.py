@@ -127,3 +127,37 @@ def synthetic_batch(
             )
         )
     return collate_fn(items)
+
+
+def synthetic_device_arrays(module, batch_size: int = 1,
+                            num_pred_steps: int = 1, seed: int = 0):
+    """(inputs, forcing, outputs) generated DIRECTLY on device with the
+    module's batch shardings — no host-side RNG, no host→device
+    transfer. Benchmarks use this so a remote-TPU tunnel never uploads
+    ~100 MB of random numbers just to time a train step."""
+    import jax
+    import jax.numpy as jnp
+
+    from py4cast_tpu.parallel.mesh import batch_sharding
+
+    info = module.dataset_info
+    h, w = info.statics.grid_shape
+    spatial = (h * w,) if module.is_graph else (h, w)
+    shapes = (
+        (batch_size, module.settings.num_input_steps) + spatial
+        + (info.weather_dim,),
+        (batch_size, num_pred_steps) + spatial + (info.forcing_dim,),
+        (batch_size, num_pred_steps) + spatial + (info.weather_dim,),
+    )
+    la = module._batch_lat_axis
+
+    def gen(key):
+        ks = jax.random.split(key, len(shapes))
+        return tuple(
+            jax.random.normal(k, s, jnp.float32) for k, s in zip(ks, shapes)
+        )
+
+    shardings = tuple(
+        batch_sharding(module.mesh, len(s), la) for s in shapes
+    )
+    return jax.jit(gen, out_shardings=shardings)(jax.random.key(seed))

@@ -36,7 +36,15 @@ from py4cast_tpu.datasets.base import DatasetInfo, ItemBatch
 from py4cast_tpu.losses import CombinedLoss
 from py4cast_tpu.models import ModelType, build_model_from_settings, get_model_kls_and_settings
 from py4cast_tpu.named_tensor import NamedArray
-from py4cast_tpu.parallel.mesh import make_mesh, MeshConfig, shard_batch, replicated
+from py4cast_tpu.parallel.mesh import (
+    is_main_process,
+    make_mesh,
+    MeshConfig,
+    put_global,
+    replicated,
+    shard_batch,
+    to_host,
+)
 from py4cast_tpu.plots import (
     PredictionEpochPlot,
     PredictionTimestepPlot,
@@ -163,13 +171,25 @@ class AutoRegressiveModule:
             statics = statics.flatten_spatial()
         gs = np.asarray(statics.grid_statics.array, np.float32)
         bm = np.asarray(statics.border_mask, np.float32)
-        self.grid_statics = jax.device_put(
-            gs, statics_sharding(self.mesh, gs.ndim)
-        )
-        self.border_mask = jax.device_put(
-            bm, statics_sharding(self.mesh, bm.ndim)
-        )
         self.interior_mask_np = np.asarray(statics.interior_mask, np.float32)
+        # grid-sized device buffers are THREADED THROUGH the jitted steps
+        # as arguments, never closed over: a closed-over jax.Array is
+        # baked into the HLO as a literal constant, bloating every train
+        # program by the full statics/mask payload (tens of MB of
+        # serialized program — slow compiles, giant compile-cache
+        # entries, and remote-compile size limits)
+        self._buffers = {
+            "grid_statics": put_global(
+                gs, statics_sharding(self.mesh, gs.ndim)
+            ),
+            "border_mask": put_global(
+                bm, statics_sharding(self.mesh, bm.ndim)
+            ),
+            "interior_mask": put_global(
+                self.interior_mask_np,
+                statics_sharding(self.mesh, self.interior_mask_np.ndim),
+            ),
+        }
         # batches are (B, T, lat, lon, F) for grid models and
         # (B, T, ngrid, F) for GRAPH; either way axis 2 is the one the
         # spatial mesh axis shards (contiguous ngrid shards = lat bands;
@@ -180,14 +200,19 @@ class AutoRegressiveModule:
         forcing_names = tuple(dataset_info.forcing_feature_names)
         self.output_feature_names = out_names
         self.forcing_feature_names = forcing_names
-        self.step_diff_mean = jnp.asarray(
+        # small (F,) vectors ride in the same buffers pytree for symmetry
+        self._buffers["step_diff_mean"] = jnp.asarray(
             dataset_info.diff_stats.to_array("mean", out_names)
         )
-        self.step_diff_std = jnp.asarray(
+        self._buffers["step_diff_std"] = jnp.asarray(
             dataset_info.diff_stats.to_array("std", out_names)
         )
-        self.stats_mean = jnp.asarray(dataset_info.stats.to_array("mean", out_names))
-        self.stats_std = jnp.asarray(dataset_info.stats.to_array("std", out_names))
+        self._buffers["stats_mean"] = jnp.asarray(
+            dataset_info.stats.to_array("mean", out_names)
+        )
+        self._buffers["stats_std"] = jnp.asarray(
+            dataset_info.stats.to_array("std", out_names)
+        )
 
         self.rollout_cfg = RolloutConfig(
             strategy=settings.training_strategy,
@@ -237,7 +262,9 @@ class AutoRegressiveModule:
             # need the accelerator, and XLA-CPU compiles the throwaway
             # init program much faster than a TPU round-trip
             try:
-                cpu = jax.devices("cpu")[0]
+                # LOCAL device: under multi-host, jax.devices()[0] may
+                # belong to another process (not addressable here)
+                cpu = jax.local_devices(backend="cpu")[0]
             except RuntimeError:
                 cpu = None
             if cpu is not None:
@@ -245,18 +272,28 @@ class AutoRegressiveModule:
                     variables = tiny_model.init(rng, x)
             else:
                 variables = tiny_model.init(rng, x)
-            self._graph_buffers = jax.device_put(
-                {
-                    k: jnp.asarray(v)
-                    for k, v in kls.graph_arrays(self.model.graph).items()
-                },
-                replicated(self.mesh),
-            )
+            rep = replicated(self.mesh)
+            self._graph_buffers = {
+                k: put_global(np.asarray(v), rep)
+                for k, v in kls.graph_arrays(self.model.graph).items()
+            }
             return variables
         spatial = self.model.input_shape
         x = jnp.zeros((1,) + spatial + (self.num_input_features,), jnp.float32)
         self._graph_buffers = {}
-        variables = self.model.init(rng, x)
+        # conv/ViT init on CPU too: XLA-CPU compiles the throwaway init
+        # program in seconds, where a (possibly remote) TPU round-trip
+        # takes minutes for the big architectures — weights then upload
+        # ONCE in init_state
+        try:
+            cpu = jax.local_devices(backend="cpu")[0]  # local: multi-host safe
+        except RuntimeError:
+            cpu = None
+        if cpu is not None:
+            with jax.default_device(cpu):
+                variables = self.model.init(rng, x)
+        else:
+            variables = self.model.init(rng, x)
         if hasattr(self.model, "load_pretrained"):
             # pretrained encoder injection (reference: encoder_weights,
             # config/CLI/model/customunet.yaml)
@@ -287,13 +324,23 @@ class AutoRegressiveModule:
         return tx
 
     def init_state(self, rng: jax.Array, num_training_steps: int) -> TrainState:
+        """Params upload ONCE (they were drawn on CPU); the optimizer
+        state (Adam m/v — 2x the param payload) is created ON DEVICE by
+        a tiny jitted program instead of being transferred."""
         params = self.init_params(rng)
-        state = TrainState.create(
-            apply_fn=self.model.apply,
-            params=params,
-            tx=self.make_optimizer(num_training_steps),
+        tx = self.make_optimizer(num_training_steps)
+        rep = replicated(self.mesh)
+        params = jax.tree.map(
+            lambda x: put_global(np.asarray(x), rep) if hasattr(x, "shape") else x,
+            params,
         )
-        return jax.device_put(state, replicated(self.mesh))
+
+        def create(p):
+            return TrainState.create(
+                apply_fn=self.model.apply, params=p, tx=tx
+            )
+
+        return jax.jit(create, out_shardings=rep)(params)
 
     def num_params(self, state: TrainState) -> int:
         return sum(int(p.size) for p in jax.tree.leaves(state.params))
@@ -359,17 +406,25 @@ class AutoRegressiveModule:
         b, t = arr.shape[:2]
         return arr.reshape(b, t, -1, arr.shape[-1])
 
+    def step_buffers(self) -> dict:
+        """The device-resident constants every jitted step takes as an
+        ARGUMENT (statics, masks, stats vectors, graph arrays). Passing
+        them per call is free (already-committed device arrays); closing
+        over them would bake each one into the compiled program as a
+        literal constant."""
+        return {**self._buffers, "graph": self._graph_buffers}
+
     def _rollout(self, params, inputs, forcing, outputs, num_pred_steps, rng,
-                 graph=None):
+                 buffers):
         return rollout(
-            self._model_apply(params, graph),
+            self._model_apply(params, buffers.get("graph")),
             inputs,
             forcing,
             outputs,
-            self.grid_statics,
-            self.border_mask,
-            self.step_diff_mean,
-            self.step_diff_std,
+            buffers["grid_statics"],
+            buffers["border_mask"],
+            buffers["step_diff_mean"],
+            buffers["step_diff_std"],
             self.rollout_cfg,
             num_pred_steps,
             rng,
@@ -391,12 +446,15 @@ class AutoRegressiveModule:
         )
 
     def _batch_loss(self, params, inputs, forcing, outputs, num_pred_steps, rng,
-                    graph=None):
+                    buffers):
         preds = self._rollout(
-            params, inputs, forcing, outputs, num_pred_steps, rng, graph
+            params, inputs, forcing, outputs, num_pred_steps, rng, buffers
         )
         mask, target = self._mask_and_target(outputs)
-        per_step = self.loss(self._named(preds), self._named(target), mask)
+        per_step = self.loss(
+            self._named(preds), self._named(target), mask,
+            interior_mask=buffers["interior_mask"],
+        )
         return jnp.mean(per_step), (preds, per_step)
 
     # ------------------------------------------------------------------ steps
@@ -407,21 +465,23 @@ class AutoRegressiveModule:
 
         if kind == "train":
 
-            def step(state: TrainState, inputs, forcing, outputs, rng, graph):
+            def step(state: TrainState, inputs, forcing, outputs, rng,
+                     buffers):
                 grad_fn = jax.value_and_grad(self._batch_loss, has_aux=True)
                 (loss, _), grads = grad_fn(
                     state.params, inputs, forcing, outputs, num_pred_steps, rng,
-                    graph,
+                    buffers,
                 )
                 return state.apply_gradients(grads=grads), loss
 
             fn = jax.jit(step, donate_argnums=(0,))
         elif kind == "eval":
 
-            def step(state: TrainState, inputs, forcing, outputs, rng, graph):
+            def step(state: TrainState, inputs, forcing, outputs, rng,
+                     buffers):
                 _, (preds, per_step) = self._batch_loss(
                     state.params, inputs, forcing, outputs, num_pred_steps, rng,
-                    graph,
+                    buffers,
                 )
                 # (B, T) PER-SAMPLE per-timestep loss: the host masks out
                 # padded tail rows (ItemBatch.valid_count) before
@@ -431,13 +491,13 @@ class AutoRegressiveModule:
             fn = jax.jit(step)
         elif kind == "predict":
 
-            def step(state: TrainState, inputs, forcing, rng, graph):
+            def step(state: TrainState, inputs, forcing, rng, buffers):
                 preds = self._rollout(
                     state.params, inputs, forcing, None, num_pred_steps, rng,
-                    graph,
+                    buffers,
                 )
                 # de-normalize (reference: lightning.py:1164-1169)
-                return preds * self.stats_std + self.stats_mean
+                return preds * buffers["stats_std"] + buffers["stats_mean"]
 
             fn = jax.jit(step)
         else:
@@ -481,18 +541,18 @@ class AutoRegressiveModule:
     def train_step(self, state, batch: ItemBatch, rng):
         inputs, forcing, outputs = self._batch_arrays(batch)
         fn = self._get_jitted("train", batch.num_pred_steps)
-        return fn(state, inputs, forcing, outputs, rng, self._graph_buffers)
+        return fn(state, inputs, forcing, outputs, rng, self.step_buffers())
 
     def eval_step(self, state, batch: ItemBatch, rng):
         inputs, forcing, outputs = self._batch_arrays(batch)
         fn = self._get_jitted("eval", batch.num_pred_steps)
-        return fn(state, inputs, forcing, outputs, rng, self._graph_buffers)
+        return fn(state, inputs, forcing, outputs, rng, self.step_buffers())
 
     def predict_step(self, state, batch: ItemBatch, rng):
         self.check_feature_contract(batch)
         inputs, forcing, _ = self._batch_arrays(batch, with_outputs=False)
         fn = self._get_jitted("predict", batch.num_pred_steps)
-        preds = fn(state, inputs, forcing, rng, self._graph_buffers)
+        preds = fn(state, inputs, forcing, rng, self.step_buffers())
         return self._named(preds)
 
     def check_feature_contract(self, batch: ItemBatch):
@@ -682,15 +742,34 @@ class Trainer:
     def __init__(self, config: TrainerConfig, loggers=None):
         self.config = config
         self.save_path = Path(config.save_path)
-        self.save_path.mkdir(parents=True, exist_ok=True)
-        self.loggers = loggers if loggers is not None else []
+        # host-0 gating (reference rank-zero guards, lightning.py:141-144,
+        # plots.py:285,539,621): every process computes, only process 0
+        # writes checkpoints/logs/figures/scores
+        self.is_main = is_main_process()
+        if self.is_main:
+            self.save_path.mkdir(parents=True, exist_ok=True)
+        self.loggers = (loggers if loggers is not None else []) if self.is_main else []
         from py4cast_tpu.settings import enable_compilation_cache
 
         enable_compilation_cache()  # warm restarts skip the big compiles
 
     def _log(self, tag: str, value: float, step: int):
+        if not self.is_main:
+            return
         for lg in self.loggers:
             lg.log_scalar(tag, value, step)
+
+    @staticmethod
+    def _host_state(state):
+        """Checkpoint-ready host copy of a (possibly multi-host
+        replicated) train state: with >1 process, orbax writes happen on
+        process 0 only, so leaves are materialized host-side first
+        (params are replicated — every host has the full value)."""
+        if jax.process_count() == 1:
+            return state
+        return jax.tree.map(
+            lambda x: to_host(x) if hasattr(x, "shape") else x, state
+        )
 
     def fit(
         self,
@@ -719,19 +798,23 @@ class Trainer:
         num_training_steps = max(1, steps_per_epoch * max_epochs)
 
         state = module.init_state(rng, num_training_steps)
-        ckpt = CheckpointManager(self.save_path / "checkpoints", module.manifest())
+        ckpt = CheckpointManager(
+            self.save_path / "checkpoints",
+            module.manifest() if self.is_main else None,
+        )
         if ckpt_path:
             state = ckpt.restore(ckpt_path, state)
             print(f"Resumed from checkpoint {ckpt_path}")
 
-        print(
-            f"Model: {module.settings.model_name} | params: "
-            f"{module.num_params(state)/1e6:.2f}M | strategy: "
-            f"{module.settings.training_strategy} | devices: "
-            f"{module.mesh.devices.size}"
-        )
-        print(module.summarize(state))
-        self._dump_run_info(module)
+        if self.is_main:
+            print(
+                f"Model: {module.settings.model_name} | params: "
+                f"{module.num_params(state)/1e6:.2f}M | strategy: "
+                f"{module.settings.training_strategy} | devices: "
+                f"{module.mesh.devices.size}"
+            )
+            print(module.summarize(state))
+            self._dump_run_info(module)
         profile_dir = None
         if cfg.profiler == "jax":
             profile_dir = self.save_path / "profile"
@@ -779,6 +862,10 @@ class Trainer:
                     cfg.logging_enabled
                     and not cfg.fast_dev_run
                     and epoch % cfg.plot_period == 0
+                    # plotters/metric accumulators consume host arrays of
+                    # the full batch; under multi-host they are skipped
+                    # (losses still reduce cross-process via to_host)
+                    and jax.process_count() == 1
                 )
                 plotters, metrics, metric_states = [], {}, {}
                 if do_plots:
@@ -814,7 +901,9 @@ class Trainer:
                         break
                     rng, step_rng = jax.random.split(rng)
                     preds, per_step = module.eval_step(state, batch, step_rng)
-                    vrows.append(np.asarray(per_step)[: batch.valid_count])
+                    rows = to_host(per_step)  # GLOBAL (B, T) rows
+                    nv = batch.num_valid if batch.num_valid else rows.shape[0]
+                    vrows.append(rows[:nv])
                     if do_plots:
                         pred_na, target_na, mask = module.named_eval_arrays(
                             preds, batch
@@ -853,9 +942,18 @@ class Trainer:
 
             # ------------------------------ checkpoint + early stop
             if not cfg.fast_dev_run:
-                ckpt.save_last(state)
+                host_state = self._host_state(state)
+                if self.is_main:
+                    ckpt.save_last(host_state)
                 if not np.isnan(val_loss):
-                    if ckpt.maybe_save_best(state, val_loss):
+                    # best-tracking state advances identically on every
+                    # process (val_loss is identical); only main writes
+                    if self.is_main:
+                        improved = ckpt.maybe_save_best(host_state, val_loss)
+                    else:
+                        improved = val_loss < ckpt.best_metric
+                        ckpt.best_metric = min(ckpt.best_metric, val_loss)
+                    if improved:
                         epochs_no_improve = 0
                     else:
                         epochs_no_improve += 1
@@ -865,7 +963,7 @@ class Trainer:
         if profile_dir is not None:
             jax.profiler.stop_trace()
             print(f"Profiler trace written to {profile_dir}")
-        if not cfg.fast_dev_run:
+        if not cfg.fast_dev_run and self.is_main:
             self._log_model(module, state)
         return state
 
@@ -892,11 +990,12 @@ class Trainer:
         )
 
         def predict(params, inputs, forcing):
+            buffers = module.step_buffers()
             preds = module._rollout(
                 params, inputs, forcing, None, num_pred_steps,
-                jax.random.key(0), module._graph_buffers,
+                jax.random.key(0), buffers,
             )
-            return preds * module.stats_std + module.stats_mean
+            return preds * buffers["stats_std"] + buffers["stats_mean"]
 
         out_spec = jax.eval_shape(
             predict, state.params, inputs_spec, forcing_spec
@@ -986,6 +1085,8 @@ class Trainer:
         )
 
         plotters, metrics, metric_states = [], {}, {}
+        if cfg.logging_enabled and jax.process_count() > 1:
+            cfg = dataclasses.replace(cfg, logging_enabled=False)
         if cfg.logging_enabled:
             # (reference: on_test_start, lightning.py:995-1015)
             plotters = [
@@ -1015,7 +1116,9 @@ class Trainer:
                 break
             rng, step_rng = jax.random.split(rng)
             preds, per_step = module.eval_step(state, batch, step_rng)
-            per_sample_rows.append(np.asarray(per_step)[: batch.valid_count])
+            rows = to_host(per_step)  # GLOBAL (B, T) rows
+            nv = batch.num_valid if batch.num_valid else rows.shape[0]
+            per_sample_rows.append(rows[:nv])
             if cfg.logging_enabled:
                 pred_na, target_na, mask = module.named_eval_arrays(preds, batch)
                 for p in plotters:
@@ -1045,8 +1148,9 @@ class Trainer:
                     else:
                         for lg in self.loggers:
                             lg.log_figure(name, val, 0)
-        with open(self.save_path / "test_scores.json", "w") as f:
-            json.dump(scores, f, indent=1)
+        if self.is_main:
+            with open(self.save_path / "test_scores.json", "w") as f:
+                json.dump(scores, f, indent=1)
         for k, v in scores.items():
             self._log(k, v, 0)
         return scores
@@ -1063,9 +1167,7 @@ class Trainer:
         for batch in loader:
             rng, step_rng = jax.random.split(rng)
             p = module.predict_step(state, batch, step_rng)
-            if batch.valid_count != batch.batch_size:
-                p = NamedArray(
-                    p.array[: batch.valid_count], p.names, p.feature_names
-                )
-            preds.append(p)
+            arr = to_host(p.array)  # GLOBAL rows; numpy on every host
+            nv = batch.num_valid if batch.num_valid else arr.shape[0]
+            preds.append(NamedArray(arr[:nv], p.names, p.feature_names))
         return preds

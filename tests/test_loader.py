@@ -171,4 +171,54 @@ def test_drop_last_false_without_pad_yields_short_tail():
     loader = DataLoader(ds, batch_size=4, drop_last=False)
     batches = list(loader)
     assert [b.batch_size for b in batches] == [4, 3]
-    assert all(b.num_valid is None for b in batches)
+    assert batches[0].num_valid is None  # full batch
+    assert batches[1].valid_count == 3  # real (unpadded) short tail
+
+
+def test_loader_process_partitioning():
+    """Multi-host: each process loads a disjoint slice of every global
+    batch; the union covers the epoch exactly once (the DDP-sampler
+    analog, reference Lightning strategy, SURVEY.md §2.3)."""
+    ds = _RangeDataset(8)
+    l0 = DataLoader(ds, batch_size=4, process_index=0, process_count=2)
+    l1 = DataLoader(ds, batch_size=4, process_index=1, process_count=2)
+    b0 = list(l0)
+    b1 = list(l1)
+    assert len(b0) == len(b1) == 2
+    for a, b in zip(b0, b1):
+        assert a.batch_size == b.batch_size == 2  # local rows
+        ra = set(np.asarray(a.outputs.array).ravel()[::4])
+        rb = set(np.asarray(b.outputs.array).ravel()[::4])
+        assert not ra & rb  # disjoint slices
+    seen = set()
+    for batch in b0 + b1:
+        seen |= set(float(v) for v in np.asarray(batch.outputs.array)[:, 0, 0, 0, 0])
+    assert seen == set(float(i) for i in range(8))
+
+
+def test_loader_process_partitioning_shuffle_consistent():
+    """The seeded shuffle is identical across processes, so slices stay
+    disjoint under shuffling too."""
+    ds = _RangeDataset(8)
+    l0 = DataLoader(ds, batch_size=4, shuffle=True, seed=3,
+                    process_index=0, process_count=2)
+    l1 = DataLoader(ds, batch_size=4, shuffle=True, seed=3,
+                    process_index=1, process_count=2)
+    for a, b in zip(l0, l1):
+        ra = set(np.asarray(a.outputs.array)[:, 0, 0, 0, 0].tolist())
+        rb = set(np.asarray(b.outputs.array)[:, 0, 0, 0, 0].tolist())
+        assert not ra & rb
+
+
+def test_loader_padded_tail_partitioned():
+    """Global pad + per-process slice: num_valid carries the GLOBAL real
+    count so eval can drop padding regardless of which rank holds it."""
+    ds = _RangeDataset(7)
+    l0 = DataLoader(ds, batch_size=4, drop_last=False, pad_last=True,
+                    process_index=0, process_count=2)
+    l1 = DataLoader(ds, batch_size=4, drop_last=False, pad_last=True,
+                    process_index=1, process_count=2)
+    b0 = list(l0)
+    b1 = list(l1)
+    assert b0[1].num_valid == 3 and b1[1].num_valid == 3
+    assert b0[1].batch_size == 2 and b1[1].batch_size == 2
