@@ -75,10 +75,16 @@ def bench_model(model: str, batch_size: int, n_steps: int, precision: str,
     import jax.numpy as jnp
 
     from py4cast_tpu.parallel.mesh import MeshConfig, make_mesh
-    from py4cast_tpu.testing import synthetic_batch, synthetic_dataset_info
+    from py4cast_tpu.testing import (
+        synthetic_dataset_info,
+        synthetic_device_arrays,
+    )
     from py4cast_tpu.training import AutoRegressiveModule, TrainingSettings
 
     grid, init_args = CONFIGS.get(model, ((512, 640), {}))
+    if os.environ.get("BENCH_GRID"):  # debug/smoke override
+        h, w = (int(v) for v in os.environ["BENCH_GRID"].split("x"))
+        grid = (h, w)
     info = synthetic_dataset_info(
         grid_shape=grid, weather_features=21, forcing_features=21
     )
@@ -93,78 +99,89 @@ def bench_model(model: str, batch_size: int, n_steps: int, precision: str,
     mesh = make_mesh(MeshConfig(data_parallel=1), jax.devices()[:1])
     module = AutoRegressiveModule(settings, info, mesh=mesh)
     state = module.init_state(jax.random.key(0), num_training_steps=1000)
-    batch = synthetic_batch(info, batch_size=batch_size, num_pred_steps=1)
     rng = jax.random.key(1)
-    # stage the batch on device once: the bench measures the train step
-    # (fwd+bwd+optimizer), not host→device transfer of synthetic data
-    inputs, forcing, outputs = module._batch_arrays(batch)
-    graph = module._graph_buffers
+    # synthetic batch generated DIRECTLY on device (no ~100 MB host→
+    # device upload through the tunnel), and EVERYTHING device-resident
+    # rides as an ARGUMENT of the jitted program — a closed-over
+    # jax.Array is baked into the HLO as a literal constant, which made
+    # round-2 programs 100-900 MB (slow tunnel uploads even on cache
+    # hits; HTTP-413 at batch 8).
+    inputs, forcing, outputs = synthetic_device_arrays(
+        module, batch_size=batch_size, num_pred_steps=1
+    )
+    buffers = module.step_buffers()
+    num_pred_steps = 1
 
-    def one_step(state):
+    def one_step(state, inputs, forcing, outputs, rng, buffers):
         grad_fn = jax.value_and_grad(module._batch_loss, has_aux=True)
         (loss, _), grads = grad_fn(
-            state.params, inputs, forcing, outputs, batch.num_pred_steps,
-            rng, graph,
+            state.params, inputs, forcing, outputs, num_pred_steps,
+            rng, buffers,
         )
         return state.apply_gradients(grads=grads), loss
 
-    # cost analysis of ONE step for the MFU estimate — prefer the
-    # LOWERED program (client-side HLO analysis, no TPU compile); some
-    # PJRT plugins (axon) return None there, then compile one_step for
-    # it (hits the persistent compile cache on repeat runs)
-    lowered_one = jax.jit(one_step).lower(state)
-    ca = lowered_one.cost_analysis()
-    compiled_one = None
-    compile_s_one = 0.0
-    if ca is None:
-        t0 = time.perf_counter()
-        compiled_one = lowered_one.compile()
-        compile_s_one = time.perf_counter() - t0
-        ca = compiled_one.cost_analysis()
-    if isinstance(ca, list):
-        ca = ca[0] if ca else {}
-    ca = ca or {}
-    flops_per_step = float(ca.get("flops", 0.0))
-    bytes_per_step = float(ca.get("bytes accessed", 0.0))
-
     if mode == "scan":
-        def scan_steps(state, n):
-            def body(carry, _):
-                return one_step(carry)
+        def scan_steps(state, inputs, forcing, outputs, rng, buffers, n):
+            def body(carry, step_rng):
+                st, _ = carry
+                st, loss = one_step(st, inputs, forcing, outputs, step_rng,
+                                    buffers)
+                return (st, loss), None
 
-            return jax.lax.scan(body, state, None, length=n)
+            (st, loss), _ = jax.lax.scan(
+                body, (state, jnp.float32(0)), jax.random.split(rng, n)
+            )
+            return st, loss
 
         t0 = time.perf_counter()
-        run = jax.jit(scan_steps, static_argnums=(1,)).lower(state, n_steps).compile()
+        run = (
+            jax.jit(scan_steps, static_argnums=(6,))
+            .lower(state, inputs, forcing, outputs, rng, buffers, n_steps)
+            .compile()
+        )
         compile_s = time.perf_counter() - t0
-        state2, losses = run(state)  # warm the data path
-        float(jnp.sum(losses))
+        ca = run.cost_analysis()
+        state2, loss = run(state, inputs, forcing, outputs, rng, buffers)
+        float(loss)  # warm the data path; value transfer forces execution
         t0 = time.perf_counter()
-        state2, losses = run(state)
-        total = float(jnp.sum(losses))  # value transfer forces execution
+        state2, loss = run(state, inputs, forcing, outputs, rng, buffers)
+        total = float(loss)
         dt = time.perf_counter() - t0
         assert total == total, "loss is NaN"
     else:
         t0 = time.perf_counter()
-        if compiled_one is None:
-            compiled_one = lowered_one.compile()
-        compile_s = (time.perf_counter() - t0) + compile_s_one
+        run = (
+            jax.jit(one_step)
+            .lower(state, inputs, forcing, outputs, rng, buffers)
+            .compile()
+        )
+        compile_s = time.perf_counter() - t0
+        ca = run.cost_analysis()
         for _ in range(3):
-            state, loss = compiled_one(state)
+            state, loss = run(state, inputs, forcing, outputs, rng, buffers)
         float(loss)
         t0 = time.perf_counter()
         for _ in range(n_steps):
-            state, loss = compiled_one(state)
+            state, loss = run(state, inputs, forcing, outputs, rng, buffers)
         float(loss)
         dt = time.perf_counter() - t0
+
+    if isinstance(ca, list):
+        ca = ca[0] if ca else {}
+    ca = ca or {}
+    # XLA cost analysis counts a while/scan body ONCE (not × trip
+    # count), so the scan program's flops ARE the per-step flops
+    flops_per_step = float(ca.get("flops", 0.0))
+    bytes_per_step = float(ca.get("bytes accessed", 0.0))
 
     sps = n_steps * batch_size / dt
     step_s = dt / n_steps
     mfu = flops_per_step / step_s / peak_flops()
+    suffix = f"_b{batch_size}" if batch_size != 1 else ""
     return {
         "metric": (
             f"{model.lower()}_{grid[0]}x{grid[1]}"
-            f"_train_samples_per_sec_per_chip"
+            f"_train_samples_per_sec_per_chip{suffix}"
         ),
         "value": round(sps, 3),
         "unit": "samples/s",
@@ -196,16 +213,18 @@ def main():
         headline = dict(head)
         headline["models"] = {
             m: {k: r[k] for k in ("value", "vs_baseline", "mfu",
-                                  "compile_seconds", "error") if k in r}
+                                  "compile_seconds", "batch_size", "error")
+                if k in r}
             for m, r in results.items()
         }
         return json.dumps(headline)
 
-    models = [only] if only else list(CONFIGS)
-    results = {}
-    for model in models:
+    t_start = time.perf_counter()
+    budget_s = float(os.environ.get("BENCH_BUDGET_S", "480"))
+
+    def run_one(model, key, bs):
         try:
-            r = bench_model(model, batch_size, n_steps, precision, mode)
+            r = bench_model(model, bs, n_steps, precision, mode)
         except Exception as e:  # one broken model must not kill the headline
             traceback.print_exc(file=sys.stderr)
             grid = CONFIGS.get(model, ((0, 0),))[0]
@@ -213,9 +232,27 @@ def main():
                             f"_train_samples_per_sec_per_chip"),
                  "value": 0.0, "unit": "samples/s", "vs_baseline": 0.0,
                  "error": f"{type(e).__name__}: {e}"[:300]}
-        results[model] = r
+        results[key] = r
         print(json.dumps(r), flush=True)
         print(headline_line(results), flush=True)
+
+    models = [only] if only else list(CONFIGS)
+    results = {}
+    for model in models:
+        run_one(model, model, batch_size)
+    # batch-scaling extras (MFU at batch 8) — run only while inside the
+    # time budget so the four headline models always land first
+    if not only:
+        extras = os.environ.get("BENCH_EXTRA", "HalfUNet:8,UNetRPP:8")
+        for spec in filter(None, extras.split(",")):
+            name, bs = spec.split(":")
+            if time.perf_counter() - t_start > budget_s:
+                print(
+                    f"# skipping {spec}: over BENCH_BUDGET_S={budget_s}",
+                    file=sys.stderr,
+                )
+                continue
+            run_one(name, f"{name}@b{bs}", int(bs))
 
 
 if __name__ == "__main__":
