@@ -32,16 +32,21 @@ class DummyAccessor(DataAccessor):
     def cache_dir(self, name: str, grid: Grid) -> Path:
         path = CACHE_DIR / f"{name}_{grid.name}"
         os.makedirs(path, exist_ok=True)
+        # stats for every level a config may request (default is [500];
+        # multi-variable runs, e.g. the parity artifact, use more)
+        levels = (500, 700, 850, 1000)
+        names = [f"dummy_parameter_{lv}_isobaricInhPa" for lv in levels]
         if not (path / "parameters_stats.json").exists():
             Stats(
                 stats={
-                    PARAM_NAME: {"mean": 0.0, "std": 1.0, "max": 3.0, "min": -3.0}
+                    n: {"mean": 0.0, "std": 1.0, "max": 3.0, "min": -3.0}
+                    for n in names
                 }
             ).save(path / "parameters_stats.json")
         if not (path / "diff_stats.json").exists():
-            Stats(stats={PARAM_NAME: {"mean": 0.0, "std": 1.42}}).save(
-                path / "diff_stats.json"
-            )
+            Stats(
+                stats={n: {"mean": 0.0, "std": 1.42} for n in names}
+            ).save(path / "diff_stats.json")
         return path
 
     @classmethod

@@ -355,3 +355,40 @@ def test_end_to_end_rmse_parity(info):
         torch.tensor([info.stats[n]["std"] for n in names]), "mse",
     )
     np.testing.assert_allclose(rmse_jax, rmse_t.numpy(), rtol=1e-5, atol=1e-5)
+
+
+def test_downscaling_only_rollout_matches_reference_semantics(info):
+    """downscaling_only: input is statics+forcing only, the prediction is
+    coarse_forcing[common_idx] + y, no border forcing
+    (reference lightning.py:546-558, 611-621)."""
+    (inputs, forcing, outputs, statics, border,
+     diff_mean, diff_std) = _rollout_inputs(info)
+    f_in = statics.shape[-1] + FF
+    wt = _toy_weights(f_in)
+    idx = (0, 2, 4)  # one matching forcing per output feature
+
+    cfg = RolloutConfig(
+        strategy="downscaling_only", num_input_steps=N_IN,
+        common_features_idx=idx,
+    )
+    got = rollout(
+        lambda x: jnp.tanh(x @ jnp.asarray(wt)),
+        jnp.asarray(inputs), jnp.asarray(forcing), jnp.asarray(outputs),
+        jnp.asarray(statics), jnp.asarray(border),
+        jnp.asarray(diff_mean), jnp.asarray(diff_std), cfg, T,
+    )
+
+    # torch restatement: no prev-state inputs, no border forcing
+    preds = []
+    for i in range(T):
+        forcing_t = torch.tensor(forcing)[:, i]
+        x = torch.cat(
+            [torch.tensor(statics).expand(B, H, W, -1), forcing_t], dim=-1
+        )
+        y = torch.tanh(x @ torch.tensor(wt))
+        coarse = forcing_t[..., list(idx)]
+        preds.append(coarse + y)
+    want = torch.stack(preds, dim=1)
+    np.testing.assert_allclose(
+        np.asarray(got), want.numpy(), rtol=1e-5, atol=1e-5
+    )
