@@ -167,13 +167,23 @@ def _bwd_rule(scale, block_q, interpret, res, g):
 short_kv_attention.defvjp(_fwd_rule, _bwd_rule)
 
 
+def _target_platform() -> str:
+    """Platform the traced computation will actually run on — honors a
+    ``jax.default_device`` override (e.g. CPU-side param init while the
+    priority backend is a TPU), which ``jax.default_backend()`` ignores."""
+    dev = jax.config.jax_default_device
+    if dev is not None:
+        return getattr(dev, "platform", jax.default_backend())
+    return jax.default_backend()
+
+
 def use_pallas_attention(lk: int, head_dim: int = 128) -> bool:
     """Pallas path: TPU backend, K/V small enough to sit in VMEM, and a
     head dim wide enough to feed the MXU lanes (tiny head dims pad to
     128 lanes in VMEM and measure SLOWER than XLA's batched attention —
     UNETR++ EPA with head_dim 16: 23 vs 32 samples/s)."""
     return (
-        jax.default_backend() == "tpu"
+        _target_platform() == "tpu"
         and lk <= MAX_KV_VMEM_TOKENS
         and head_dim >= 32
     )

@@ -39,8 +39,17 @@ class MeshConfig:
 
 def maybe_init_distributed():
     """Initialize multi-host JAX when launched under a multi-process
-    runtime (the JAX analog of torch.distributed init inside Lightning)."""
-    if os.environ.get("JAX_COORDINATOR_ADDRESS"):
+    runtime (the JAX analog of torch.distributed init inside Lightning;
+    reference launch topologies: SLURM srun / multi-node sbatch,
+    README.md:297-327). Triggers on an explicit coordinator address, a
+    multi-task SLURM allocation, or TPU-pod worker metadata —
+    ``jax.distributed.initialize()`` auto-derives the topology from the
+    environment in each case."""
+    if (
+        os.environ.get("JAX_COORDINATOR_ADDRESS")
+        or int(os.environ.get("SLURM_NTASKS", "1") or 1) > 1
+        or os.environ.get("TPU_WORKER_HOSTNAMES")
+    ):
         jax.distributed.initialize()
 
 

@@ -290,7 +290,12 @@ class AutoRegressiveModule:
         except RuntimeError:
             cpu = None
         if cpu is not None:
-            with jax.default_device(cpu):
+            try:
+                with jax.default_device(cpu):
+                    variables = self.model.init(rng, x)
+            except Exception:
+                # a device-specific lowering path refused the CPU —
+                # fall back to initializing on the default backend
                 variables = self.model.init(rng, x)
         else:
             variables = self.model.init(rng, x)
