@@ -583,6 +583,41 @@ def _lat_dict(garr: dict, prefix: str) -> dict:
 # =========================================================================
 
 
+class _DenseParams(nn.Module):
+    """Registers nn.Dense-shaped params WITHOUT applying them — the fused
+    Pallas stencil kernel consumes the raw weights. Path and initializers
+    match nn.Dense exactly (``<name>/kernel``, ``<name>/bias``,
+    lecun-normal/zeros), so the fused and XLA paths share param trees
+    and checkpoints."""
+
+    features: int
+    use_bias: bool = True
+
+    @nn.compact
+    def __call__(self, in_features: int):
+        kernel = self.param(
+            "kernel", nn.initializers.lecun_normal(),
+            (in_features, self.features),
+        )
+        bias = (
+            self.param("bias", nn.initializers.zeros, (self.features,))
+            if self.use_bias
+            else None
+        )
+        return kernel, bias
+
+
+class _LNParams(nn.Module):
+    """nn.LayerNorm-shaped params (scale/bias) for the fused kernel."""
+
+    @nn.compact
+    def __call__(self, features: int):
+        return (
+            self.param("scale", nn.initializers.ones, (features,)),
+            self.param("bias", nn.initializers.zeros, (features,)),
+        )
+
+
 class _StencilMessage(nn.Module):
     """EdgeMessage on an 8-neighbor lattice stencil. Edge states live as
     (B, 8, H, W, h) dense arrays in DIRS8 order; the per-edge source
@@ -595,17 +630,32 @@ class _StencilMessage(nn.Module):
     @nn.compact
     def __call__(self, v, e, mask, count=None):
         from py4cast_tpu.ops.lattice_ops import DIRS8, shift2d
+        from py4cast_tpu.ops.stencil_kernel import (
+            fused_stencil_message,
+            use_fused_stencil,
+        )
 
         h = self.hidden_dim
-        pe = nn.Dense(h, name="w_e")(e)
         ps = nn.Dense(h, use_bias=False, name="w_s")(v)
         pd = nn.Dense(h, use_bias=False, name="w_d")(v)
         vs = jnp.stack([shift2d(ps, di, dj) for di, dj in DIRS8], axis=1)
-        z = nn.silu(pe + vs + pd[:, None])
-        for i in range(self.hidden_layers - 1):
-            z = nn.silu(nn.Dense(h, name=f"hidden_{i}")(z))
-        e_new = nn.LayerNorm(name="ln")(nn.Dense(h, name="out")(z))
-        agg = (e_new * mask[None]).sum(axis=1)
+        if use_fused_stencil(self.hidden_layers):
+            # fused Pallas stage: every (B, 8, H, W, h) intermediate
+            # stays in VMEM (ops/stencil_kernel.py); param tree and
+            # numerics match the XLA path below
+            ke, be = _DenseParams(h, name="w_e")(e.shape[-1])
+            ko, bo = _DenseParams(h, name="out")(h)
+            lns, lnb = _LNParams(name="ln")(h)
+            e_new, agg = fused_stencil_message(
+                e, vs, pd, mask, ke, be, ko, bo, lns, lnb
+            )
+        else:
+            pe = nn.Dense(h, name="w_e")(e)
+            z = nn.silu(pe + vs + pd[:, None])
+            for i in range(self.hidden_layers - 1):
+                z = nn.silu(nn.Dense(h, name=f"hidden_{i}")(z))
+            e_new = nn.LayerNorm(name="ln")(nn.Dense(h, name="out")(z))
+            agg = (e_new * mask[None]).sum(axis=1)
         if self.aggr == "mean":
             agg = agg / jnp.maximum(count[None], 1.0)
         return e_new, agg
