@@ -97,6 +97,69 @@ eval_mean = float(np.mean(rows))
 for v in losses + [eval_mean]:
     assert v == v, "NaN loss in multihost dryrun"
 
+# ---- plot/metric path under multi-host: named_eval_arrays is a
+# collective (global pred/target on every host); figures, score cards
+# and PSD metrics are written by process 0 only (reference rank-zero
+# gating: plots.py:285,539,621)
+from jax.experimental import multihost_utils  # noqa: E402
+
+from py4cast_tpu.metrics import MetricPSDK  # noqa: E402
+from py4cast_tpu.parallel.mesh import is_main_process  # noqa: E402
+from py4cast_tpu.plots import (  # noqa: E402
+    PredictionTimestepPlot,
+    StateErrorPlot,
+)
+
+# per-process DISTINCT rows so global row order is observable
+plot_batch = synthetic_batch(
+    info, batch_size=local_rows, num_pred_steps=2, seed=100 + proc_id
+)
+preds_g, _ = module.eval_step(state, plot_batch, jax.random.key(11))
+pred_na, target_na, mask = module.named_eval_arrays(preds_g, plot_batch)
+assert pred_na.array.shape[0] == global_batch, pred_na.array.shape
+assert target_na.array.shape[0] == global_batch, target_na.array.shape
+# this process's local rows must sit at their global offset
+local_t = np.asarray(plot_batch.outputs.array, np.float32)
+sl = np.asarray(
+    target_na.array[proc_id * local_rows : (proc_id + 1) * local_rows]
+)
+assert np.allclose(sl, local_t, atol=1e-6), "global target row order broken"
+target_row_means = [
+    float(v)
+    for v in np.asarray(target_na.array, np.float64).mean(axis=(1, 2, 3, 4))
+]
+
+fig_dir = out_dir / "figs"
+if is_main_process():
+    module._plot_loggers = []
+    module.current_epoch = 0
+    plotters = [
+        StateErrorPlot(
+            {"mae": module.make_scaled_loss("mae")},
+            prefix="Validation",
+            save_path=fig_dir,
+        ),
+        PredictionTimestepPlot(
+            num_samples_to_plot=1, num_features_to_plot=1,
+            prefix="Validation", save_path=fig_dir,
+        ),
+    ]
+    metric = MetricPSDK(
+        fig_dir, list(module.output_feature_names),
+        info.statics.grid_shape, pred_step=1,
+    )
+    mstate = metric.init_state()
+    for p in plotters:
+        p.update(module, plot_batch, pred_na, target_na, mask)
+    mstate = metric.update(mstate, pred_na.array, target_na.array, mask)
+    for p in plotters:
+        p.on_step_end(module, label="Valid")
+multihost_utils.sync_global_devices("p4t_multihost_plots_done")
+figs_written = sorted(
+    str(p.relative_to(fig_dir)) for p in fig_dir.rglob("*") if p.is_file()
+)
+assert figs_written, "no figures/scores written under multi-host"
+
 # loader partitioning smoke inside the live cluster (defaults read
 # jax.process_index/process_count)
 from py4cast_tpu.datasets.base import Item  # noqa: E402
@@ -133,9 +196,12 @@ assert len(got) == 8 // nproc, got  # each process loads its slice only
     __import__("json").dumps(
         {
             "process": proc_id,
+            "is_main": is_main_process(),
             "train_losses": losses,
             "eval_mean": eval_mean,
             "local_loader_rows": got,
+            "target_row_means": target_row_means,
+            "figs_written": figs_written,
         }
     )
 )

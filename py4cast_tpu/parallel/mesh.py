@@ -45,10 +45,14 @@ def maybe_init_distributed():
     multi-task SLURM allocation, or TPU-pod worker metadata —
     ``jax.distributed.initialize()`` auto-derives the topology from the
     environment in each case."""
+    # TPU_WORKER_HOSTNAMES only counts when it lists MULTIPLE workers:
+    # single-chip hosts (e.g. tunneled TPUs) export it with one entry,
+    # and initializing distributed there fails for want of a coordinator
+    workers = os.environ.get("TPU_WORKER_HOSTNAMES", "")
     if (
         os.environ.get("JAX_COORDINATOR_ADDRESS")
         or int(os.environ.get("SLURM_NTASKS", "1") or 1) > 1
-        or os.environ.get("TPU_WORKER_HOSTNAMES")
+        or len([w for w in workers.split(",") if w.strip()]) > 1
     ):
         jax.distributed.initialize()
 

@@ -590,12 +590,30 @@ class AutoRegressiveModule:
 
         Padded tail rows (``batch.valid_count`` < batch size) are sliced
         off so plotters and metric accumulators only see real samples.
+
+        Under multi-host this is a COLLECTIVE (must run on every
+        process): predictions are a global sharded array and the batch
+        holds only this process's contiguous row slice, so both are
+        allgathered to every host — callers then plot/accumulate on
+        process 0 only (reference rank-zero gating: plots.py:285,539,621).
         """
-        outputs = self._flatten_graph(
-            jnp.asarray(np.asarray(batch.outputs.array, np.float32))
-        )
+        outputs_np = np.asarray(batch.outputs.array, np.float32)
+        if jax.process_count() > 1:
+            from jax.experimental import multihost_utils
+
+            preds = jnp.asarray(to_host(preds))
+            # loader slices the global batch contiguously by process
+            # index (datasets/loader.py), so tiled process order IS
+            # global row order
+            outputs_np = multihost_utils.process_allgather(
+                outputs_np, tiled=True
+            )
+        outputs = self._flatten_graph(jnp.asarray(outputs_np))
         mask, target = self._mask_and_target(outputs)
-        nv = batch.valid_count
+        # num_valid counts real rows in the GLOBAL batch (loader.py);
+        # when unset, every gathered row is real — batch.valid_count
+        # would undercount here (it falls back to the LOCAL batch size)
+        nv = batch.num_valid if batch.num_valid else outputs_np.shape[0]
         return (
             self._named(preds[:nv]),
             self._named(target[:nv]),
@@ -867,13 +885,13 @@ class Trainer:
                     cfg.logging_enabled
                     and not cfg.fast_dev_run
                     and epoch % cfg.plot_period == 0
-                    # plotters/metric accumulators consume host arrays of
-                    # the full batch; under multi-host they are skipped
-                    # (losses still reduce cross-process via to_host)
-                    and jax.process_count() == 1
                 )
+                # multi-host: every process joins the allgather in
+                # named_eval_arrays below, but only process 0 builds
+                # plotters/metrics and writes figures/scores (reference
+                # rank-zero gating: plots.py:285,539,621)
                 plotters, metrics, metric_states = [], {}, {}
-                if do_plots:
+                if do_plots and self.is_main:
                     # (reference: on_validation_start, lightning.py:864-886)
                     plotters = [
                         StateErrorPlot(
@@ -1077,7 +1095,12 @@ class Trainer:
     def test(self, module: AutoRegressiveModule, test_ds, state):
         """Scoring loop: per-timestep losses, mae/rmse score cards,
         spatial-error map, PSD/ACC metrics, JSON score files
-        (reference: lightning.py:995-1099)."""
+        (reference: lightning.py:995-1099).
+
+        Multi-host: timestep losses are identical on every process
+        (cross-process allgather); PSD/ACC entries appear only in
+        process 0's returned dict — the one that writes
+        ``test_scores.json``."""
         cfg = self.config
         rng = jax.random.key(0)
         module._plot_loggers = self.loggers
@@ -1090,9 +1113,10 @@ class Trainer:
         )
 
         plotters, metrics, metric_states = [], {}, {}
-        if cfg.logging_enabled and jax.process_count() > 1:
-            cfg = dataclasses.replace(cfg, logging_enabled=False)
-        if cfg.logging_enabled:
+        # multi-host: named_eval_arrays below is a collective run by all
+        # processes; plotters/metrics/score files are process-0 only (the
+        # update/compute loops no-op elsewhere — empty lists/dicts)
+        if cfg.logging_enabled and self.is_main:
             # (reference: on_test_start, lightning.py:995-1015)
             plotters = [
                 StateErrorPlot(
