@@ -639,7 +639,8 @@ class _StencilMessage(nn.Module):
         ps = nn.Dense(h, use_bias=False, name="w_s")(v)
         pd = nn.Dense(h, use_bias=False, name="w_d")(v)
         vs = jnp.stack([shift2d(ps, di, dj) for di, dj in DIRS8], axis=1)
-        if use_fused_stencil(self.hidden_layers):
+        fused_mode = use_fused_stencil(self.hidden_layers)
+        if fused_mode:
             # fused Pallas stage: every (B, 8, H, W, h) intermediate
             # stays in VMEM (ops/stencil_kernel.py); param tree and
             # numerics match the XLA path below
@@ -647,7 +648,7 @@ class _StencilMessage(nn.Module):
             ko, bo = _DenseParams(h, name="out")(h)
             lns, lnb = _LNParams(name="ln")(h)
             e_new, agg = fused_stencil_message(
-                e, vs, pd, mask, ke, be, ko, bo, lns, lnb
+                e, vs, pd, mask, ke, be, ko, bo, lns, lnb, mode=fused_mode
             )
         else:
             pe = nn.Dense(h, name="w_e")(e)

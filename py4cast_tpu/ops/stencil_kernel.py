@@ -90,7 +90,7 @@ def _fwd_kernel(e_ref, vs_ref, pd_ref, mask_ref,
     agg_ref[0] = acc.astype(agg_ref.dtype)
 
 
-def _fwd_call(e, vs, pd, mask, we, be, wo, bo, lns, lnb, interpret):
+def _fwd_call(e, vs, pd, mask, we, be, wo, bo, lns, lnb, mode, interpret):
     b, _, hr, w, f_in = e.shape
     h = we.shape[-1]
     bh = _pick_bh(hr)
@@ -102,6 +102,30 @@ def _fwd_call(e, vs, pd, mask, we, be, wo, bo, lns, lnb, interpret):
         jax.ShapeDtypeStruct((b, 8, hr, w, h), e.dtype),
         jax.ShapeDtypeStruct((b, hr, w, h), e.dtype),
     )
+    if mode == 2:
+        we2, be2, wo2, bo2, lns2, lnb2, msel, mbc = _pack_params(
+            we, be, wo, bo, lns, lnb
+        )
+        return pl.pallas_call(
+            _fwd_kernel_packed,
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((1, 8, bh, w, f_in), row),       # e
+                pl.BlockSpec((1, 8, bh, w, h), row),          # vs
+                pl.BlockSpec((1, bh, w, h), row3),            # pd
+                pl.BlockSpec((8, bh, w, 1), lambda i, j: (0, j, 0, 0)),
+                full(2 * f_in, 2 * h), full(2 * h),
+                full(2 * h, 2 * h), full(2 * h),
+                full(2 * h), full(2 * h),
+                full(2 * h, 2), full(2, 2 * h),
+            ],
+            out_specs=[
+                pl.BlockSpec((1, 8, bh, w, h), row),          # e_new
+                pl.BlockSpec((1, bh, w, h), row3),            # agg
+            ],
+            out_shape=out_shapes,
+            interpret=interpret,
+        )(e, vs, pd, mask, we2, be2, wo2, bo2, lns2, lnb2, msel, mbc)
     return pl.pallas_call(
         _fwd_kernel,
         grid=grid,
@@ -119,6 +143,97 @@ def _fwd_call(e, vs, pd, mask, we, be, wo, bo, lns, lnb, interpret):
         out_shape=out_shapes,
         interpret=interpret,
     )(e, vs, pd, mask, we, be, wo, bo, lns, lnb)
+
+
+# ------------------------------------------------- forward, lane-packed
+# Mode 2: the mode-1 kernel ran SLOWER than XLA because h=64 channels
+# fill only half of the 128 VMEM lanes (and half the MXU columns).
+# This variant processes direction PAIRS (k, k+4) with their features
+# concatenated to 2h lanes: elementwise chains run full-width, and the
+# two per-direction (M,h)@(h,h) matmuls become ONE (M,2h)@(2h,2h)
+# block-diagonal matmul — same MXU passes, twice the directions.
+# Packing happens in VMEM only (lane concats/splits); HBM reads and
+# writes keep the exact mode-1 layouts, so traffic is unchanged.
+# LayerNorm statistics must not mix the two halves: per-half means ride
+# through two tiny selector matmuls (msel: (2h,2) half-indicator/h,
+# mbc: (2,2h) half-broadcast).
+
+
+def _pack_params(we, be, wo, bo, lns, lnb):
+    """Block-diagonal / duplicated parameter views for the packed kernel
+    (tiny, built in the traced wrapper)."""
+    f_in, h = we.shape
+    zfh = jnp.zeros((f_in, h), we.dtype)
+    zhh = jnp.zeros((h, h), wo.dtype)
+    we2 = jnp.concatenate(
+        [jnp.concatenate([we, zfh], 1), jnp.concatenate([zfh, we], 1)], 0
+    )
+    wo2 = jnp.concatenate(
+        [jnp.concatenate([wo, zhh], 1), jnp.concatenate([zhh, wo], 1)], 0
+    )
+    dup = lambda v: jnp.concatenate([v, v], 0)  # noqa: E731
+    hi = (jnp.arange(2 * h) >= h).astype(jnp.float32)
+    msel = jnp.stack([1.0 - hi, hi], 1) / h  # (2h, 2) per-half mean
+    mbc = jnp.stack([1.0 - hi, hi], 0)  # (2, 2h) half broadcast
+    return we2, dup(be), wo2, dup(bo), dup(lns), dup(lnb), msel, mbc
+
+
+def _fwd_kernel_packed(e_ref, vs_ref, pd_ref, mask_ref,
+                       we2_ref, be2_ref, wo2_ref, bo2_ref,
+                       lns2_ref, lnb2_ref, msel_ref, mbc_ref,
+                       enew_ref, agg_ref):
+    f_in = e_ref.shape[-1]
+    h = vs_ref.shape[-1]
+
+    def mm(a, b):
+        return jax.lax.dot_general(
+            a, b, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        )
+
+    pd = pd_ref[0].astype(jnp.float32)  # (bh, W, h)
+    pd2 = jnp.concatenate([pd, pd], -1)
+    we2 = we2_ref[...].astype(jnp.float32)
+    wo2 = wo2_ref[...].astype(jnp.float32)
+    be2 = be2_ref[...].astype(jnp.float32)
+    bo2 = bo2_ref[...].astype(jnp.float32)
+    lns2 = lns2_ref[...].astype(jnp.float32)
+    lnb2 = lnb2_ref[...].astype(jnp.float32)
+    msel = msel_ref[...]
+    mbc = mbc_ref[...]
+
+    def half_mean(x):  # (bh, W, 2h) -> per-half mean broadcast full-width
+        flat = x.reshape(-1, 2 * h)
+        return mm(mm(flat, msel), mbc).reshape(x.shape)
+
+    acc2 = jnp.zeros(pd2.shape, jnp.float32)
+    for kp in range(4):
+        e2 = jnp.concatenate(
+            [e_ref[0, kp], e_ref[0, kp + 4]], -1
+        ).astype(jnp.float32)
+        vs2 = jnp.concatenate(
+            [vs_ref[0, kp], vs_ref[0, kp + 4]], -1
+        ).astype(jnp.float32)
+        pre = (
+            mm(e2.reshape(-1, 2 * f_in), we2).reshape(e2.shape[:-1] + (2 * h,))
+            + be2 + vs2 + pd2
+        )
+        z = pre * jax.nn.sigmoid(pre)
+        t = mm(z.reshape(-1, 2 * h), wo2).reshape(z.shape) + bo2
+        mu = half_mean(t)
+        d = t - mu
+        var = half_mean(d * d)
+        e_new2 = d * jax.lax.rsqrt(var + LN_EPS) * lns2 + lnb2
+        enew_ref[0, kp] = e_new2[..., :h].astype(enew_ref.dtype)
+        enew_ref[0, kp + 4] = e_new2[..., h:].astype(enew_ref.dtype)
+        m2 = jnp.concatenate(
+            [
+                jnp.broadcast_to(mask_ref[kp], pd.shape[:-1] + (h,)),
+                jnp.broadcast_to(mask_ref[kp + 4], pd.shape[:-1] + (h,)),
+            ],
+            -1,
+        ).astype(jnp.float32)
+        acc2 = acc2 + e_new2 * m2
+    agg_ref[0] = (acc2[..., :h] + acc2[..., h:]).astype(agg_ref.dtype)
 
 
 # ----------------------------------------------------------------- backward
@@ -221,7 +336,7 @@ def _bwd_kernel(e_ref, vs_ref, pd_ref, mask_ref,
 
 
 def _bwd_call(e, vs, pd, mask, we, be, wo, bo, lns, lnb, g_enew, g_agg,
-              interpret):
+              mode, interpret):
     b, _, hr, w, f_in = e.shape
     h = we.shape[-1]
     bh = _pick_bh(hr)
@@ -229,6 +344,56 @@ def _bwd_call(e, vs, pd, mask, we, be, wo, bo, lns, lnb, g_enew, g_agg,
     full = lambda *s: pl.BlockSpec(s, lambda i, j: tuple(0 for _ in s))  # noqa: E731
     row = lambda i, j: (i, 0, j, 0, 0)  # noqa: E731
     row3 = lambda i, j: (i, j, 0, 0)  # noqa: E731
+    if mode == 2:
+        we2, be2, wo2, bo2, lns2, lnb2, msel, mbc = _pack_params(
+            we, be, wo, bo, lns, lnb
+        )
+        out_shapes = (
+            jax.ShapeDtypeStruct(e.shape, e.dtype),           # de
+            jax.ShapeDtypeStruct((b, 8, hr, w, h), e.dtype),  # dvs
+            jax.ShapeDtypeStruct(pd.shape, pd.dtype),         # dpd
+            jax.ShapeDtypeStruct((2 * f_in, 2 * h), jnp.float32),
+            jax.ShapeDtypeStruct((2 * h,), jnp.float32),
+            jax.ShapeDtypeStruct((2 * h, 2 * h), jnp.float32),
+            jax.ShapeDtypeStruct((2 * h,), jnp.float32),
+            jax.ShapeDtypeStruct((2 * h,), jnp.float32),
+            jax.ShapeDtypeStruct((2 * h,), jnp.float32),
+        )
+        de, dvs, dpd, dwe2, dbe2, dwo2, dbo2, dlns2, dlnb2 = pl.pallas_call(
+            _bwd_kernel_packed,
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((1, 8, bh, w, f_in), row),   # e
+                pl.BlockSpec((1, 8, bh, w, h), row),      # vs
+                pl.BlockSpec((1, bh, w, h), row3),        # pd
+                pl.BlockSpec((8, bh, w, 1), lambda i, j: (0, j, 0, 0)),
+                full(2 * f_in, 2 * h), full(2 * h, 2 * h), full(2 * h),
+                full(2 * h), full(2 * h),
+                full(2 * h, 2), full(2, 2 * h),
+                pl.BlockSpec((1, 8, bh, w, h), row),      # g_enew
+                pl.BlockSpec((1, bh, w, h), row3),        # g_agg
+            ],
+            out_specs=[
+                pl.BlockSpec((1, 8, bh, w, f_in), row),
+                pl.BlockSpec((1, 8, bh, w, h), row),
+                pl.BlockSpec((1, bh, w, h), row3),
+                full(2 * f_in, 2 * h), full(2 * h), full(2 * h, 2 * h),
+                full(2 * h), full(2 * h), full(2 * h),
+            ],
+            out_shape=out_shapes,
+            interpret=interpret,
+        )(e, vs, pd, mask, we2, wo2, bo2, lns2, be2, msel, mbc,
+          g_enew, g_agg)
+        # fold the packed accumulators: diagonal blocks / halves
+        return (
+            de, dvs, dpd,
+            dwe2[:f_in, :h] + dwe2[f_in:, h:],
+            dbe2[:h] + dbe2[h:],
+            dwo2[:h, :h] + dwo2[h:, h:],
+            dbo2[:h] + dbo2[h:],
+            dlns2[:h] + dlns2[h:],
+            dlnb2[:h] + dlnb2[h:],
+        )
     out_shapes = (
         jax.ShapeDtypeStruct(e.shape, e.dtype),           # de
         jax.ShapeDtypeStruct((b, 8, hr, w, h), e.dtype),  # dvs
@@ -263,35 +428,164 @@ def _bwd_call(e, vs, pd, mask, we, be, wo, bo, lns, lnb, g_enew, g_agg,
     )(e, vs, pd, mask, we, wo, bo, lns, be, g_enew, g_agg)
 
 
+# ---------------------------------------------- backward, lane-packed
+def _bwd_kernel_packed(e_ref, vs_ref, pd_ref, mask_ref,
+                       we2_ref, wo2_ref, bo2_ref, lns2_ref, be2_ref,
+                       msel_ref, mbc_ref,
+                       genew_ref, gagg_ref,
+                       de_ref, dvs_ref, dpd_ref,
+                       dwe2_ref, dbe2_ref, dwo2_ref, dbo2_ref,
+                       dlns2_ref, dlnb2_ref):
+    """Packed recompute backward. Weight/LN grads accumulate as RAW
+    (2f,2h)/(2h,) packed buffers in fp32 across the sequential grid; the
+    wrapper folds the two diagonal blocks / halves together (the
+    off-diagonal cross blocks of dWe2/dWo2 are computed and discarded —
+    free MXU lanes, no extra passes)."""
+    f_in = e_ref.shape[-1]
+    h = vs_ref.shape[-1]
+    first = (pl.program_id(0) == 0) & (pl.program_id(1) == 0)
+
+    @pl.when(first)
+    def _init():
+        dwe2_ref[...] = jnp.zeros_like(dwe2_ref)
+        dbe2_ref[...] = jnp.zeros_like(dbe2_ref)
+        dwo2_ref[...] = jnp.zeros_like(dwo2_ref)
+        dbo2_ref[...] = jnp.zeros_like(dbo2_ref)
+        dlns2_ref[...] = jnp.zeros_like(dlns2_ref)
+        dlnb2_ref[...] = jnp.zeros_like(dlnb2_ref)
+
+    def mm(a, b):
+        return jax.lax.dot_general(
+            a, b, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        )
+
+    pd = pd_ref[0].astype(jnp.float32)
+    pd2 = jnp.concatenate([pd, pd], -1)
+    we2 = we2_ref[...].astype(jnp.float32)
+    wo2 = wo2_ref[...].astype(jnp.float32)
+    be2 = be2_ref[...].astype(jnp.float32)
+    bo2 = bo2_ref[...].astype(jnp.float32)
+    lns2 = lns2_ref[...].astype(jnp.float32)
+    msel = msel_ref[...]
+    mbc = mbc_ref[...]
+    gagg = gagg_ref[0].astype(jnp.float32)
+    gagg2 = jnp.concatenate([gagg, gagg], -1)
+
+    def half_mean(x):
+        flat = x.reshape(-1, 2 * h)
+        return mm(mm(flat, msel), mbc).reshape(x.shape)
+
+    dpd2_acc = jnp.zeros(pd2.shape, jnp.float32)
+    dwe2_acc = jnp.zeros((2 * f_in, 2 * h), jnp.float32)
+    dbe2_acc = jnp.zeros((2 * h,), jnp.float32)
+    dwo2_acc = jnp.zeros((2 * h, 2 * h), jnp.float32)
+    dbo2_acc = jnp.zeros((2 * h,), jnp.float32)
+    dlns2_acc = jnp.zeros((2 * h,), jnp.float32)
+    dlnb2_acc = jnp.zeros((2 * h,), jnp.float32)
+
+    for kp in range(4):
+        e2 = jnp.concatenate(
+            [e_ref[0, kp], e_ref[0, kp + 4]], -1
+        ).astype(jnp.float32)
+        vs2 = jnp.concatenate(
+            [vs_ref[0, kp], vs_ref[0, kp + 4]], -1
+        ).astype(jnp.float32)
+        # ---- recompute forward internals (packed)
+        pre = (
+            mm(e2.reshape(-1, 2 * f_in), we2).reshape(e2.shape[:-1] + (2 * h,))
+            + be2 + vs2 + pd2
+        )
+        sig = jax.nn.sigmoid(pre)
+        z = pre * sig
+        t = mm(z.reshape(-1, 2 * h), wo2).reshape(z.shape) + bo2
+        mu = half_mean(t)
+        d = t - mu
+        var = half_mean(d * d)
+        inv = jax.lax.rsqrt(var + LN_EPS)
+        xhat = d * inv
+        # ---- upstream gradient: residual edge grad + masked agg grad
+        m2 = jnp.concatenate(
+            [
+                jnp.broadcast_to(mask_ref[kp], pd.shape[:-1] + (h,)),
+                jnp.broadcast_to(mask_ref[kp + 4], pd.shape[:-1] + (h,)),
+            ],
+            -1,
+        ).astype(jnp.float32)
+        g = (
+            jnp.concatenate(
+                [genew_ref[0, kp], genew_ref[0, kp + 4]], -1
+            ).astype(jnp.float32)
+            + gagg2 * m2
+        )
+        # ---- LayerNorm backward (per-half statistics)
+        dlns2_acc = dlns2_acc + jnp.sum((g * xhat).reshape(-1, 2 * h), axis=0)
+        dlnb2_acc = dlnb2_acc + jnp.sum(g.reshape(-1, 2 * h), axis=0)
+        gx = g * lns2
+        dt = (gx - half_mean(gx) - xhat * half_mean(gx * xhat)) * inv
+        # ---- out dense backward
+        dwo2_acc = dwo2_acc + mm(z.reshape(-1, 2 * h).T, dt.reshape(-1, 2 * h))
+        dbo2_acc = dbo2_acc + jnp.sum(dt.reshape(-1, 2 * h), axis=0)
+        dz = mm(dt.reshape(-1, 2 * h), wo2.T).reshape(dt.shape)
+        # ---- silu backward
+        dpre = dz * (sig * (1.0 + pre * (1.0 - sig)))
+        # ---- edge dense backward + input grads
+        dwe2_acc = dwe2_acc + mm(
+            e2.reshape(-1, 2 * f_in).T, dpre.reshape(-1, 2 * h)
+        )
+        dbe2_acc = dbe2_acc + jnp.sum(dpre.reshape(-1, 2 * h), axis=0)
+        de2 = mm(dpre.reshape(-1, 2 * h), we2.T).reshape(
+            dpre.shape[:-1] + (2 * f_in,)
+        )
+        de_ref[0, kp] = de2[..., :f_in].astype(de_ref.dtype)
+        de_ref[0, kp + 4] = de2[..., f_in:].astype(de_ref.dtype)
+        dvs_ref[0, kp] = dpre[..., :h].astype(dvs_ref.dtype)
+        dvs_ref[0, kp + 4] = dpre[..., h:].astype(dvs_ref.dtype)
+        dpd2_acc = dpd2_acc + dpre
+
+    dpd_ref[0] = (dpd2_acc[..., :h] + dpd2_acc[..., h:]).astype(dpd_ref.dtype)
+    dwe2_ref[...] += dwe2_acc
+    dbe2_ref[...] += dbe2_acc
+    dwo2_ref[...] += dwo2_acc
+    dbo2_ref[...] += dbo2_acc
+    dlns2_ref[...] += dlns2_acc
+    dlnb2_ref[...] += dlnb2_acc
+
+
 # ------------------------------------------------------------- public op
-@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
-def _fused(interpret, e, vs, pd, mask, we, be, wo, bo, lns, lnb):
-    return _fwd_call(e, vs, pd, mask, we, be, wo, bo, lns, lnb, interpret)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1))
+def _fused(interpret, mode, e, vs, pd, mask, we, be, wo, bo, lns, lnb):
+    return _fwd_call(e, vs, pd, mask, we, be, wo, bo, lns, lnb, mode,
+                     interpret)
 
 
 def fused_stencil_message(e, vs, pd, mask, we, be, wo, bo, lns, lnb,
-                          interpret: bool = False):
+                          interpret: bool = False, mode: int = 1):
     """(e_new, agg) of the stencil edge-message stage, fused in VMEM.
 
     e, vs: (B, 8, H, W, h) — projected-source-shifted features ride in
     as ``vs`` so the kernel needs no halo logic; pd: (B, H, W, h);
     mask: (8, H, W, 1). Dense/LN params as in _StencilMessage. The
-    nondiff ``interpret`` flag rides FIRST through the inner custom_vjp
-    (keyword nondiff args misalign the vjp's residual packing).
+    nondiff ``interpret``/``mode`` flags ride FIRST through the inner
+    custom_vjp (keyword nondiff args misalign the vjp's residual
+    packing). mode 1 = per-direction tiles; mode 2 = lane-packed
+    direction pairs (same HBM layout, 2h-wide VMEM arithmetic).
     """
-    return _fused(bool(interpret), e, vs, pd, mask, we, be, wo, bo, lns, lnb)
+    return _fused(bool(interpret), int(mode), e, vs, pd, mask, we, be, wo,
+                  bo, lns, lnb)
 
 
-def _vjp_fwd(interpret, e, vs, pd, mask, we, be, wo, bo, lns, lnb):
-    out = _fwd_call(e, vs, pd, mask, we, be, wo, bo, lns, lnb, interpret)
+def _vjp_fwd(interpret, mode, e, vs, pd, mask, we, be, wo, bo, lns, lnb):
+    out = _fwd_call(e, vs, pd, mask, we, be, wo, bo, lns, lnb, mode,
+                    interpret)
     return out, (e, vs, pd, mask, we, be, wo, bo, lns, lnb)
 
 
-def _vjp_bwd(interpret, res, g):
+def _vjp_bwd(interpret, mode, res, g):
     e, vs, pd, mask, we, be, wo, bo, lns, lnb = res
     g_enew, g_agg = g
     de, dvs, dpd, dwe, dbe, dwo, dbo, dlns, dlnb = _bwd_call(
-        e, vs, pd, mask, we, be, wo, bo, lns, lnb, g_enew, g_agg, interpret
+        e, vs, pd, mask, we, be, wo, bo, lns, lnb, g_enew, g_agg, mode,
+        interpret
     )
     return (
         de, dvs, dpd, jnp.zeros_like(mask),
@@ -304,21 +598,27 @@ def _vjp_bwd(interpret, res, g):
 _fused.defvjp(_vjp_fwd, _vjp_bwd)
 
 
-def use_fused_stencil(hidden_layers: int) -> bool:
-    """Opt-in (P4T_FUSED_STENCIL=1): the fused kernel is numerically
-    exact (tests/test_stencil_kernel.py) and cuts HLO-estimated HBM
-    bytes ~12-20%, but MEASURED slower than the XLA path on v5e at
-    h=64 (HiLAM 29.4 vs 36.9 samples/s): the 64-wide channel dim fills
-    only half of the 128 VMEM lanes, and the recompute-style backward
-    adds FLOPs to an already bandwidth-tight stage. Until the kernel
-    packs two directions per lane row (128-wide layout), XLA's fusion
-    wins — so the default stays off."""
+def use_fused_stencil(hidden_layers: int) -> int:
+    """Fused-kernel mode: 0 (off, XLA path), 1, or 2 — opt-in via
+    P4T_FUSED_STENCIL=1|2.
+
+    Both modes are numerically exact (tests/test_stencil_kernel.py) and
+    cut HLO-estimated HBM bytes ~12-20%. Mode 1 MEASURED slower than
+    the XLA path on v5e at h=64 (HiLAM 29.4 vs 36.9 samples/s): the
+    64-wide channel dim fills only half of the 128 VMEM lanes, and the
+    recompute-style backward adds FLOPs to an already bandwidth-tight
+    stage. Mode 2 packs direction pairs into 2h lanes (block-diagonal
+    matmuls, full-width elementwise) to lift exactly that ceiling —
+    flip the default here once it measures faster."""
     import os
 
     from py4cast_tpu.ops.attention import _target_platform
 
-    return (
-        hidden_layers == 1
-        and os.environ.get("P4T_FUSED_STENCIL") == "1"
-        and _target_platform() == "tpu"
-    )
+    mode = os.environ.get("P4T_FUSED_STENCIL", "0")
+    if (
+        hidden_layers != 1
+        or mode not in ("1", "2")
+        or _target_platform() != "tpu"
+    ):
+        return 0
+    return int(mode)

@@ -45,14 +45,17 @@ def reference(e, vs, pd, mask, we, be, wo, bo, lns, lnb):
     return e_new, agg
 
 
-def test_forward_matches_reference(inputs):
-    got_enew, got_agg = fused_stencil_message(*inputs, interpret=True)
+@pytest.mark.parametrize("mode", [1, 2])
+def test_forward_matches_reference(inputs, mode):
+    got_enew, got_agg = fused_stencil_message(*inputs, interpret=True,
+                                              mode=mode)
     want_enew, want_agg = reference(*inputs)
     np.testing.assert_allclose(got_enew, want_enew, rtol=1e-5, atol=1e-5)
     np.testing.assert_allclose(got_agg, want_agg, rtol=1e-5, atol=1e-5)
 
 
-def test_gradients_match_reference(inputs):
+@pytest.mark.parametrize("mode", [1, 2])
+def test_gradients_match_reference(inputs, mode):
     rng = np.random.default_rng(1)
     g_enew = jnp.asarray(
         rng.standard_normal((B, 8, H, W, HID)).astype(np.float32)
@@ -60,7 +63,7 @@ def test_gradients_match_reference(inputs):
     g_agg = jnp.asarray(rng.standard_normal((B, H, W, HID)).astype(np.float32))
 
     def loss_fused(*args):
-        e_new, agg = fused_stencil_message(*args, interpret=True)
+        e_new, agg = fused_stencil_message(*args, interpret=True, mode=mode)
         return jnp.sum(e_new * g_enew) + jnp.sum(agg * g_agg)
 
     def loss_ref(*args):
@@ -77,7 +80,8 @@ def test_gradients_match_reference(inputs):
         )
 
 
-def test_module_fused_equals_xla_path(inputs, monkeypatch):
+@pytest.mark.parametrize("mode", [1, 2])
+def test_module_fused_equals_xla_path(inputs, monkeypatch, mode):
     """_StencilMessage with the kernel forced ON equals the XLA branch,
     params and outputs (the param trees must be interchangeable)."""
     import flax.linen as nn  # noqa: F401
@@ -94,7 +98,7 @@ def test_module_fused_equals_xla_path(inputs, monkeypatch):
     msg = graph_mod._StencilMessage(HID, 1, "sum")
 
     monkeypatch.setattr(
-        stencil_kernel, "use_fused_stencil", lambda hl: False
+        stencil_kernel, "use_fused_stencil", lambda hl: 0
     )
     params_xla = msg.init(jax.random.key(0), v, e, mask)
     out_xla = msg.apply(params_xla, v, e, mask)
@@ -102,7 +106,8 @@ def test_module_fused_equals_xla_path(inputs, monkeypatch):
     # force the fused path (interpret via default_device on CPU is not
     # available — patch the kernel to interpret mode)
     monkeypatch.setattr(
-        stencil_kernel, "use_fused_stencil", lambda hl: hl == 1
+        stencil_kernel, "use_fused_stencil",
+        lambda hl: mode if hl == 1 else 0,
     )
     real_fwd = stencil_kernel._fwd_call
     monkeypatch.setattr(
