@@ -603,13 +603,15 @@ def use_fused_stencil(hidden_layers: int) -> int:
     P4T_FUSED_STENCIL=1|2.
 
     Both modes are numerically exact (tests/test_stencil_kernel.py) and
-    cut HLO-estimated HBM bytes ~12-20%. Mode 1 MEASURED slower than
-    the XLA path on v5e at h=64 (HiLAM 29.4 vs 36.9 samples/s): the
-    64-wide channel dim fills only half of the 128 VMEM lanes, and the
-    recompute-style backward adds FLOPs to an already bandwidth-tight
-    stage. Mode 2 packs direction pairs into 2h lanes (block-diagonal
-    matmuls, full-width elementwise) to lift exactly that ceiling —
-    flip the default here once it measures faster."""
+    cut HLO-estimated HBM bytes ~12-20%. Mode 2 packs direction pairs
+    into 2h lanes (block-diagonal matmuls, full-width elementwise) to
+    lift mode 1's half-lane VMEM ceiling at h=64. Same-session serial
+    measurements on v5e (HiLAM 500x500, batch 1): XLA 36.7, mode 2
+    36.3, mode 1 35.9 samples/s — the kernel is at parity, and the
+    model sits at ~0.9 of the HBM roofline either way, so XLA's fusion
+    keeps the default. The kernels remain the scaffold for a future
+    multi-stage megakernel (stencil + bipartite hops in one VMEM
+    residency), which is where a real win over XLA would come from."""
     import os
 
     from py4cast_tpu.ops.attention import _target_platform
