@@ -114,10 +114,7 @@ def bench_model(model: str, batch_size: int, n_steps: int, precision: str,
     if os.environ.get("BENCH_GRID"):  # debug/smoke override
         h, w = (int(v) for v in os.environ["BENCH_GRID"].split("x"))
         grid = (h, w)
-    if os.environ.get("BENCH_REMAT") == "1":
-        # remat (jax.checkpoint) — required for big-batch GNN programs
-        # whose live activations exceed the chip's HBM
-        init_args = {**init_args, "use_checkpointing": True}
+    remat = os.environ.get("BENCH_REMAT") == "1"
     info = synthetic_dataset_info(
         grid_shape=grid, weather_features=21, forcing_features=21
     )
@@ -128,6 +125,10 @@ def bench_model(model: str, batch_size: int, n_steps: int, precision: str,
         num_input_steps=2,
         precision=precision,
         num_warmup_steps=10,
+        # BENCH_REMAT=1: jax.checkpoint around the apply — the
+        # memory/FLOPs trade for big-batch programs that otherwise
+        # exceed HBM (and crash the remote compile helper)
+        use_checkpointing=remat,
     )
     mesh = make_mesh(MeshConfig(data_parallel=1), jax.devices()[:1])
     module = AutoRegressiveModule(settings, info, mesh=mesh)

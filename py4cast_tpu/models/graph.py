@@ -638,12 +638,25 @@ class _StencilMessage(nn.Module):
         h = self.hidden_dim
         ps = nn.Dense(h, use_bias=False, name="w_s")(v)
         pd = nn.Dense(h, use_bias=False, name="w_d")(v)
-        vs = jnp.stack([shift2d(ps, di, dj) for di, dj in DIRS8], axis=1)
         fused_mode = use_fused_stencil(self.hidden_layers)
-        if fused_mode:
+        if fused_mode == 3:
+            # mode 3: the kernel builds the directional shifts from
+            # halo bands of ps — the (B, 8, H, W, h) vs tensor never
+            # exists in HBM (ops/stencil_kernel.py); param tree and
+            # numerics match the XLA path below
+            from py4cast_tpu.ops.stencil_kernel import fused_stencil_shift
+
+            ke, be = _DenseParams(h, name="w_e")(e.shape[-1])
+            ko, bo = _DenseParams(h, name="out")(h)
+            lns, lnb = _LNParams(name="ln")(h)
+            e_new, agg = fused_stencil_shift(
+                e, ps, pd, mask, ke, be, ko, bo, lns, lnb
+            )
+        elif fused_mode:
             # fused Pallas stage: every (B, 8, H, W, h) intermediate
             # stays in VMEM (ops/stencil_kernel.py); param tree and
             # numerics match the XLA path below
+            vs = jnp.stack([shift2d(ps, di, dj) for di, dj in DIRS8], axis=1)
             ke, be = _DenseParams(h, name="w_e")(e.shape[-1])
             ko, bo = _DenseParams(h, name="out")(h)
             lns, lnb = _LNParams(name="ln")(h)
@@ -651,6 +664,7 @@ class _StencilMessage(nn.Module):
                 e, vs, pd, mask, ke, be, ko, bo, lns, lnb, mode=fused_mode
             )
         else:
+            vs = jnp.stack([shift2d(ps, di, dj) for di, dj in DIRS8], axis=1)
             pe = nn.Dense(h, name="w_e")(e)
             z = nn.silu(pe + vs + pd[:, None])
             for i in range(self.hidden_layers - 1):

@@ -83,6 +83,10 @@ class TrainingSettings:
     num_samples_to_plot: int = 1
     io_conf: Optional[str] = None
     seed: int = 42
+    #: remat (jax.checkpoint) around the model apply, regardless of
+    #: whether the model's own settings expose a checkpoint knob — the
+    #: generic memory/FLOPs trade for big-batch or long-rollout runs
+    use_checkpointing: bool = False
     # `channels_last` has no meaning here: NHWC is the only layout.
 
     def __post_init__(self):
@@ -398,8 +402,10 @@ class AutoRegressiveModule:
                 y = self.model.apply(p, x)
             return y.astype(jnp.float32)
 
-        if getattr(self.model_settings, "use_checkpointing", False) or getattr(
-            self.model_settings, "use_checkpoint", False
+        if (
+            self.settings.use_checkpointing
+            or getattr(self.model_settings, "use_checkpointing", False)
+            or getattr(self.model_settings, "use_checkpoint", False)
         ):
             apply = jax.checkpoint(apply)
         return apply
