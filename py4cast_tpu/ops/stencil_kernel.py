@@ -38,9 +38,11 @@ LN_EPS = 1e-6  # flax nn.LayerNorm default
 
 
 def _pick_bh(h_rows: int) -> int:
-    """Row-band height: the backward kernel holds ~6 direction-stacked
-    (8, bh, W, h) blocks in VMEM at once, so keep bh modest."""
-    for bh in (4, 2, 1):
+    """Row-band height: the largest divisor ≤ 8 — the backward kernel
+    holds ~6 direction-stacked (8, bh, W, h) fp32 blocks in VMEM at
+    once, so keep bh modest (coarse lattice levels are 5^k-sized, hence
+    the non-power-of-two candidates)."""
+    for bh in (8, 6, 5, 4, 3, 2, 1):
         if h_rows % bh == 0:
             return bh
     return 1
@@ -250,13 +252,20 @@ def _fwd_kernel_packed(e_ref, vs_ref, pd_ref, mask_ref,
 
 
 def _colshift(x, dj):
-    """out[:, b] = x[:, b - dj], zero-filled (static concat)."""
+    """out[:, b] = x[:, b - dj], zero-filled. Expressed as a lane roll
+    plus an iota mask: Mosaic cannot concatenate along the
+    lane-adjacent W dimension ("result/input offset mismatch on
+    non-concat dimension")."""
     if dj == 0:
         return x
-    zero = jnp.zeros(x.shape[:-2] + (1,) + x.shape[-1:], x.dtype)
+    from jax.experimental.pallas import tpu as pltpu
+
+    w = x.shape[-2]
+    rolled = pltpu.roll(x, dj % w, axis=x.ndim - 2)  # roll needs shift ≥ 0
+    col = jax.lax.broadcasted_iota(jnp.int32, x.shape, x.ndim - 2)
     if dj > 0:
-        return jnp.concatenate([zero, x[..., :-1, :]], axis=-2)
-    return jnp.concatenate([x[..., 1:, :], zero], axis=-2)
+        return jnp.where(col < dj, jnp.zeros_like(x), rolled)
+    return jnp.where(col >= w + dj, jnp.zeros_like(x), rolled)
 
 
 #: DIRS8 order (ops/lattice_ops.py): (di, dj) for di in -1,0,1 for dj
@@ -771,12 +780,23 @@ def _bwd_kernel_shift(e_ref, psp_ref, ps_ref, psn_ref, pd_ref, mask_ref,
         de_ref[0, kp] = de2[..., :f_in].astype(de_ref.dtype)
         de_ref[0, kp + 4] = de2[..., f_in:].astype(de_ref.dtype)
         # ---- un-shift the vs gradient into the tall dps accumulator:
-        # dps[p, q] += dpre_k[p + di, q + dj]
+        # dps[p, q] += dpre_k[p + di, q + dj]. Written as zero-row
+        # padding + add (NOT .at[].add — jnp scatter-add does not lower
+        # in Pallas TPU); the contribution occupies rows
+        # [1-di : 1-di+bh] of the (bh+2)-row accumulator.
         for which, (di, dj) in ((0, _DIRS8[kp]), (1, _DIRS8[kp + 4])):
             dpre_k = dpre[..., which * h : (which + 1) * h]
-            dps_tall = dps_tall.at[1 - di : 1 - di + bh].add(
-                _colshift(dpre_k, -dj)
+            contrib = _colshift(dpre_k, -dj)
+
+            def zrows(n):
+                return jnp.zeros((n,) + contrib.shape[1:], contrib.dtype)
+
+            # di is a Python constant; skip empty padding pieces —
+            # Mosaic rejects zero-size vectors
+            pieces = ([zrows(1 - di)] if di < 1 else []) + [contrib] + (
+                [zrows(1 + di)] if di > -1 else []
             )
+            dps_tall = dps_tall + jnp.concatenate(pieces, axis=0)
         dpd2_acc = dpd2_acc + dpre
 
     dpsc_ref[0] = dps_tall[1 : bh + 1].astype(dpsc_ref.dtype)

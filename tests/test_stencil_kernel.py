@@ -14,7 +14,9 @@ from py4cast_tpu.ops.stencil_kernel import (
     fused_stencil_shift,
 )
 
-B, H, W, HID, FIN = 2, 8, 12, 16, 16
+#: H=12 → band height 6, TWO row bands — exercises the mode-3 halo
+#: exchange and the cross-band weight-gradient accumulation
+B, H, W, HID, FIN = 2, 12, 12, 16, 16
 
 
 @pytest.fixture(scope="module")
