@@ -626,6 +626,11 @@ class _StencilMessage(nn.Module):
     hidden_dim: int
     hidden_layers: int = 1
     aggr: str = "sum"
+    #: fold the edge-residual update in: return (e + e_new, agg) instead
+    #: of (e_new, agg) — inside the Pallas kernel when fused (saves a
+    #: read-read-write of the full edge state per layer), as a plain add
+    #: on the XLA path. agg always aggregates raw e_new.
+    residual: bool = False
 
     @nn.compact
     def __call__(self, v, e, mask, count=None):
@@ -650,7 +655,8 @@ class _StencilMessage(nn.Module):
             ko, bo = _DenseParams(h, name="out")(h)
             lns, lnb = _LNParams(name="ln")(h)
             e_new, agg = fused_stencil_shift(
-                e, ps, pd, mask, ke, be, ko, bo, lns, lnb
+                e, ps, pd, mask, ke, be, ko, bo, lns, lnb,
+                residual=self.residual,
             )
         elif fused_mode:
             # fused Pallas stage: every (B, 8, H, W, h) intermediate
@@ -661,7 +667,8 @@ class _StencilMessage(nn.Module):
             ko, bo = _DenseParams(h, name="out")(h)
             lns, lnb = _LNParams(name="ln")(h)
             e_new, agg = fused_stencil_message(
-                e, vs, pd, mask, ke, be, ko, bo, lns, lnb, mode=fused_mode
+                e, vs, pd, mask, ke, be, ko, bo, lns, lnb, mode=fused_mode,
+                residual=self.residual,
             )
         else:
             vs = jnp.stack([shift2d(ps, di, dj) for di, dj in DIRS8], axis=1)
@@ -671,6 +678,8 @@ class _StencilMessage(nn.Module):
                 z = nn.silu(nn.Dense(h, name=f"hidden_{i}")(z))
             e_new = nn.LayerNorm(name="ln")(nn.Dense(h, name="out")(z))
             agg = (e_new * mask[None]).sum(axis=1)
+            if self.residual:
+                e_new = e + e_new
         if self.aggr == "mean":
             agg = agg / jnp.maximum(count[None], 1.0)
         return e_new, agg
@@ -740,9 +749,16 @@ class LatticeInteractionNetwork(nn.Module):
     @nn.compact
     def __call__(self, v_src, v_dst, e, lat: dict):
         if self.kind == "stencil":
+            # residual fold rides inside the fused kernel when active
             e_new, agg = _StencilMessage(
-                self.hidden_dim, self.hidden_layers, self.aggr, name="edge"
+                self.hidden_dim, self.hidden_layers, self.aggr, name="edge",
+                residual=self.update_edges,
             )(v_dst, e, lat["mask"], lat.get("count"))
+            v_new = MLP(
+                self.hidden_dim, self.hidden_dim, self.hidden_layers,
+                name="node",
+            )(jnp.concatenate([v_dst, agg], axis=-1))
+            return v_dst + v_new, e_new if self.update_edges else e
         elif self.kind == "nearest":
             e_new, agg = _NearestMessage(
                 self.hidden_dim, self.hidden_layers, self.aggr, name="edge"
@@ -885,7 +901,8 @@ class _LatticeUnionBlock(nn.Module):
         from py4cast_tpu.ops.lattice_ops import sep_aggregate, sep_take
 
         msg = _StencilMessage(
-            self.hidden_dim, self.hidden_layers, "sum", name="edge"
+            self.hidden_dim, self.hidden_layers, "sum", name="edge",
+            residual=True,
         )
         agg_total = jnp.zeros_like(v0)
         new_e = []
@@ -895,7 +912,7 @@ class _LatticeUnionBlock(nn.Module):
             cols = lat[f"lat_multi_{lev}_cols"]
             v_l = v0 if full else sep_take(v0, rows, cols)
             e_new, agg = msg(v_l, e, lat[f"lat_multi_{lev}_mask"])
-            new_e.append(e + e_new)
+            new_e.append(e_new)
             if not full:
                 agg = sep_aggregate(
                     agg, lat[f"lat_multi_{lev}_sr"], lat[f"lat_multi_{lev}_sc"]
@@ -992,9 +1009,9 @@ class _LatticeHiLAMParallelStep(nn.Module):
             d = _lat_dict(lat, f"intra_{l}")
             e_new, agg = _StencilMessage(
                 self.hidden_dim, self.hidden_layers, self.aggr,
-                name=f"intra_{l}",
+                name=f"intra_{l}", residual=True,
             )(mesh_v[l], intra_e[l], d["mask"], d.get("count"))
-            new_intra.append(intra_e[l] + e_new)
+            new_intra.append(e_new)
             accumulate(l, agg)
         for l in range(L - 1):
             e_new, agg = _NearestMessage(

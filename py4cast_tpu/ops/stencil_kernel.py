@@ -51,7 +51,7 @@ def _pick_bh(h_rows: int) -> int:
 # ------------------------------------------------------------------ forward
 def _fwd_kernel(e_ref, vs_ref, pd_ref, mask_ref,
                 we_ref, be_ref, wo_ref, bo_ref, lns_ref, lnb_ref,
-                enew_ref, agg_ref):
+                enew_ref, agg_ref, *, residual=False):
     f_in = e_ref.shape[-1]
     h = we_ref.shape[-1]
     pd = pd_ref[0].astype(jnp.float32)  # (bh, W, h)
@@ -87,12 +87,14 @@ def _fwd_kernel(e_ref, vs_ref, pd_ref, mask_ref,
         var = jnp.mean((t - mu) ** 2, axis=-1, keepdims=True)
         xhat = (t - mu) * jax.lax.rsqrt(var + LN_EPS)
         e_new = xhat * lns + lnb
-        enew_ref[0, k] = e_new.astype(enew_ref.dtype)
+        out_k = e_new + e_k if residual else e_new
+        enew_ref[0, k] = out_k.astype(enew_ref.dtype)
         acc = acc + e_new * mask_ref[k].astype(jnp.float32)
     agg_ref[0] = acc.astype(agg_ref.dtype)
 
 
-def _fwd_call(e, vs, pd, mask, we, be, wo, bo, lns, lnb, mode, interpret):
+def _fwd_call(e, vs, pd, mask, we, be, wo, bo, lns, lnb, mode, interpret,
+              residual=False):
     b, _, hr, w, f_in = e.shape
     h = we.shape[-1]
     bh = _pick_bh(hr)
@@ -109,7 +111,7 @@ def _fwd_call(e, vs, pd, mask, we, be, wo, bo, lns, lnb, mode, interpret):
             we, be, wo, bo, lns, lnb
         )
         return pl.pallas_call(
-            _fwd_kernel_packed,
+            functools.partial(_fwd_kernel_packed, residual=residual),
             grid=grid,
             in_specs=[
                 pl.BlockSpec((1, 8, bh, w, f_in), row),       # e
@@ -129,7 +131,7 @@ def _fwd_call(e, vs, pd, mask, we, be, wo, bo, lns, lnb, mode, interpret):
             interpret=interpret,
         )(e, vs, pd, mask, we2, be2, wo2, bo2, lns2, lnb2, msel, mbc)
     return pl.pallas_call(
-        _fwd_kernel,
+        functools.partial(_fwd_kernel, residual=residual),
         grid=grid,
         in_specs=[
             pl.BlockSpec((1, 8, bh, w, f_in), row),       # e
@@ -183,7 +185,7 @@ def _pack_params(we, be, wo, bo, lns, lnb):
 def _fwd_kernel_packed(e_ref, vs_ref, pd_ref, mask_ref,
                        we2_ref, be2_ref, wo2_ref, bo2_ref,
                        lns2_ref, lnb2_ref, msel_ref, mbc_ref,
-                       enew_ref, agg_ref):
+                       enew_ref, agg_ref, *, residual=False):
     f_in = e_ref.shape[-1]
     h = vs_ref.shape[-1]
 
@@ -225,8 +227,9 @@ def _fwd_kernel_packed(e_ref, vs_ref, pd_ref, mask_ref,
         d = t - mu
         var = half_mean(d * d)
         e_new2 = d * jax.lax.rsqrt(var + LN_EPS) * lns2 + lnb2
-        enew_ref[0, kp] = e_new2[..., :h].astype(enew_ref.dtype)
-        enew_ref[0, kp + 4] = e_new2[..., h:].astype(enew_ref.dtype)
+        out2 = e_new2 + e2 if residual else e_new2
+        enew_ref[0, kp] = out2[..., :h].astype(enew_ref.dtype)
+        enew_ref[0, kp + 4] = out2[..., h:].astype(enew_ref.dtype)
         m2 = jnp.concatenate(
             [
                 jnp.broadcast_to(mask_ref[kp], pd.shape[:-1] + (h,)),
@@ -300,7 +303,7 @@ def _vs_pair(tall, kp, bh):
 def _fwd_kernel_shift(e_ref, psp_ref, ps_ref, psn_ref, pd_ref, mask_ref,
                       we2_ref, be2_ref, wo2_ref, bo2_ref,
                       lns2_ref, lnb2_ref, msel_ref, mbc_ref,
-                      enew_ref, agg_ref):
+                      enew_ref, agg_ref, *, residual=False):
     f_in = e_ref.shape[-1]
     h = ps_ref.shape[-1]
     bh = ps_ref.shape[1]
@@ -342,8 +345,9 @@ def _fwd_kernel_shift(e_ref, psp_ref, ps_ref, psn_ref, pd_ref, mask_ref,
         d = t - mu
         var = half_mean(d * d)
         e_new2 = d * jax.lax.rsqrt(var + LN_EPS) * lns2 + lnb2
-        enew_ref[0, kp] = e_new2[..., :h].astype(enew_ref.dtype)
-        enew_ref[0, kp + 4] = e_new2[..., h:].astype(enew_ref.dtype)
+        out2 = e_new2 + e2 if residual else e_new2
+        enew_ref[0, kp] = out2[..., :h].astype(enew_ref.dtype)
+        enew_ref[0, kp + 4] = out2[..., h:].astype(enew_ref.dtype)
         m2 = jnp.concatenate(
             [
                 jnp.broadcast_to(mask_ref[kp], pd.shape[:-1] + (h,)),
@@ -360,7 +364,8 @@ def _bwd_kernel(e_ref, vs_ref, pd_ref, mask_ref,
                 we_ref, wo_ref, bo_ref, lns_ref, be_ref,
                 genew_ref, gagg_ref,
                 de_ref, dvs_ref, dpd_ref,
-                dwe_ref, dbe_ref, dwo_ref, dbo_ref, dlns_ref, dlnb_ref):
+                dwe_ref, dbe_ref, dwo_ref, dbo_ref, dlns_ref, dlnb_ref,
+                *, residual=False):
     f_in = e_ref.shape[-1]
     h = we_ref.shape[-1]
     first = (pl.program_id(0) == 0) & (pl.program_id(1) == 0)
@@ -439,9 +444,12 @@ def _bwd_kernel(e_ref, vs_ref, pd_ref, mask_ref,
             e_k.reshape(-1, f_in).T, dpre.reshape(-1, h)
         )
         dbe_acc = dbe_acc + jnp.sum(dpre.reshape(-1, h), axis=0)
-        de_ref[0, k] = mm(
+        de_val = mm(
             dpre.reshape(-1, h), we.T
-        ).reshape(dpre.shape[:-1] + (f_in,)).astype(de_ref.dtype)
+        ).reshape(dpre.shape[:-1] + (f_in,))
+        if residual:  # direct path of out = e + e_new (f_in == h)
+            de_val = de_val + genew_ref[0, k].astype(jnp.float32)
+        de_ref[0, k] = de_val.astype(de_ref.dtype)
         dvs_ref[0, k] = dpre.astype(dvs_ref.dtype)
         dpd_acc = dpd_acc + dpre
 
@@ -455,7 +463,7 @@ def _bwd_kernel(e_ref, vs_ref, pd_ref, mask_ref,
 
 
 def _bwd_call(e, vs, pd, mask, we, be, wo, bo, lns, lnb, g_enew, g_agg,
-              mode, interpret):
+              mode, interpret, residual=False):
     b, _, hr, w, f_in = e.shape
     h = we.shape[-1]
     bh = _pick_bh(hr)
@@ -479,7 +487,7 @@ def _bwd_call(e, vs, pd, mask, we, be, wo, bo, lns, lnb, g_enew, g_agg,
             jax.ShapeDtypeStruct((2 * h,), jnp.float32),
         )
         de, dvs, dpd, dwe2, dbe2, dwo2, dbo2, dlns2, dlnb2 = pl.pallas_call(
-            _bwd_kernel_packed,
+            functools.partial(_bwd_kernel_packed, residual=residual),
             grid=grid,
             in_specs=[
                 pl.BlockSpec((1, 8, bh, w, f_in), row),   # e
@@ -525,7 +533,7 @@ def _bwd_call(e, vs, pd, mask, we, be, wo, bo, lns, lnb, g_enew, g_agg,
         jax.ShapeDtypeStruct((h,), jnp.float32),      # dlnb
     )
     return pl.pallas_call(
-        _bwd_kernel,
+        functools.partial(_bwd_kernel, residual=residual),
         grid=grid,
         in_specs=[
             pl.BlockSpec((1, 8, bh, w, f_in), row),   # e
@@ -554,7 +562,7 @@ def _bwd_kernel_packed(e_ref, vs_ref, pd_ref, mask_ref,
                        genew_ref, gagg_ref,
                        de_ref, dvs_ref, dpd_ref,
                        dwe2_ref, dbe2_ref, dwo2_ref, dbo2_ref,
-                       dlns2_ref, dlnb2_ref):
+                       dlns2_ref, dlnb2_ref, *, residual=False):
     """Packed recompute backward. Weight/LN grads accumulate as RAW
     (2f,2h)/(2h,) packed buffers in fp32 across the sequential grid; the
     wrapper folds the two diagonal blocks / halves together (the
@@ -655,6 +663,10 @@ def _bwd_kernel_packed(e_ref, vs_ref, pd_ref, mask_ref,
         de2 = mm(dpre.reshape(-1, 2 * h), we2.T).reshape(
             dpre.shape[:-1] + (2 * f_in,)
         )
+        if residual:  # direct path of out = e + e_new (f_in == h)
+            de2 = de2 + jnp.concatenate(
+                [genew_ref[0, kp], genew_ref[0, kp + 4]], -1
+            ).astype(jnp.float32)
         de_ref[0, kp] = de2[..., :f_in].astype(de_ref.dtype)
         de_ref[0, kp + 4] = de2[..., f_in:].astype(de_ref.dtype)
         dvs_ref[0, kp] = dpre[..., :h].astype(dvs_ref.dtype)
@@ -677,7 +689,7 @@ def _bwd_kernel_shift(e_ref, psp_ref, ps_ref, psn_ref, pd_ref, mask_ref,
                       genew_ref, gagg_ref,
                       de_ref, dpsc_ref, dpsu_ref, dpsd_ref, dpd_ref,
                       dwe2_ref, dbe2_ref, dwo2_ref, dbo2_ref,
-                      dlns2_ref, dlnb2_ref):
+                      dlns2_ref, dlnb2_ref, *, residual=False):
     """Recompute backward with in-kernel shifts. dps spills one halo row
     per side (dpsu/dpsd) for the wrapper to fold into the neighbor
     bands; contributions to rows/cols outside the global lattice are
@@ -777,6 +789,10 @@ def _bwd_kernel_shift(e_ref, psp_ref, ps_ref, psn_ref, pd_ref, mask_ref,
         de2 = mm(dpre.reshape(-1, 2 * h), we2.T).reshape(
             dpre.shape[:-1] + (2 * f_in,)
         )
+        if residual:  # direct path of out = e + e_new (f_in == h)
+            de2 = de2 + jnp.concatenate(
+                [genew_ref[0, kp], genew_ref[0, kp + 4]], -1
+            ).astype(jnp.float32)
         de_ref[0, kp] = de2[..., :f_in].astype(de_ref.dtype)
         de_ref[0, kp + 4] = de2[..., f_in:].astype(de_ref.dtype)
         # ---- un-shift the vs gradient into the tall dps accumulator:
@@ -811,7 +827,8 @@ def _bwd_kernel_shift(e_ref, psp_ref, ps_ref, psn_ref, pd_ref, mask_ref,
     dlnb2_ref[...] += dlnb2_acc
 
 
-def _shift_call_fwd(e, ps, pd, mask, we, be, wo, bo, lns, lnb, interpret):
+def _shift_call_fwd(e, ps, pd, mask, we, be, wo, bo, lns, lnb, interpret,
+                    residual=False):
     b, _, hr, w, f_in = e.shape
     h = we.shape[-1]
     bh = _pick_bh(hr)
@@ -830,7 +847,7 @@ def _shift_call_fwd(e, ps, pd, mask, we, be, wo, bo, lns, lnb, interpret):
         jax.ShapeDtypeStruct((b, hr, w, h), e.dtype),
     )
     return pl.pallas_call(
-        _fwd_kernel_shift,
+        functools.partial(_fwd_kernel_shift, residual=residual),
         grid=grid,
         in_specs=[
             pl.BlockSpec((1, 8, bh, w, f_in), row),       # e
@@ -854,7 +871,7 @@ def _shift_call_fwd(e, ps, pd, mask, we, be, wo, bo, lns, lnb, interpret):
 
 
 def _shift_call_bwd(e, ps, pd, mask, we, be, wo, bo, lns, lnb,
-                    g_enew, g_agg, interpret):
+                    g_enew, g_agg, interpret, residual=False):
     b, _, hr, w, f_in = e.shape
     h = we.shape[-1]
     bh = _pick_bh(hr)
@@ -883,7 +900,7 @@ def _shift_call_bwd(e, ps, pd, mask, we, be, wo, bo, lns, lnb,
     )
     (de, dpsc, dpsu, dpsd, dpd,
      dwe2, dbe2, dwo2, dbo2, dlns2, dlnb2) = pl.pallas_call(
-        _bwd_kernel_shift,
+        functools.partial(_bwd_kernel_shift, residual=residual),
         grid=grid,
         in_specs=[
             pl.BlockSpec((1, 8, bh, w, f_in), row),   # e
@@ -930,34 +947,47 @@ def _shift_call_bwd(e, ps, pd, mask, we, be, wo, bo, lns, lnb,
     )
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
-def _fused_shift(interpret, e, ps, pd, mask, we, be, wo, bo, lns, lnb):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1))
+def _fused_shift(interpret, residual, e, ps, pd, mask, we, be, wo, bo,
+                 lns, lnb):
     return _shift_call_fwd(e, ps, pd, mask, we, be, wo, bo, lns, lnb,
-                           interpret)
+                           interpret, residual)
 
 
 def fused_stencil_shift(e, ps, pd, mask, we, be, wo, bo, lns, lnb,
-                        interpret: bool = False):
+                        interpret: bool = False, residual: bool = False):
     """(e_new, agg) with the 8 directional source shifts built INSIDE
     the kernel from one-row-halo bands of ps — the (B, 8, H, W, h)
     ``vs`` tensor never exists in HBM (mode 3; see module docstring).
     ps, pd: (B, H, W, h) unshifted projections; the caller's autodiff
-    carries dps/dpd back through its own Dense layers."""
-    return _fused_shift(bool(interpret), e, ps, pd, mask, we, be, wo, bo,
-                        lns, lnb)
+    carries dps/dpd back through its own Dense layers.
+
+    residual=True folds the edge-residual update in: the first output
+    becomes ``e + e_new`` (agg still aggregates raw e_new) — saves the
+    consumer's separate read-read-write of the edge state. Requires the
+    edge feature width to equal the hidden width."""
+    if residual and e.shape[-1] != we.shape[-1]:
+        raise ValueError(
+            "residual fold requires edge features == hidden width, got "
+            f"{e.shape[-1]} vs {we.shape[-1]}"
+        )
+    return _fused_shift(bool(interpret), bool(residual), e, ps, pd, mask,
+                        we, be, wo, bo, lns, lnb)
 
 
-def _shift_vjp_fwd(interpret, e, ps, pd, mask, we, be, wo, bo, lns, lnb):
+def _shift_vjp_fwd(interpret, residual, e, ps, pd, mask, we, be, wo, bo,
+                   lns, lnb):
     out = _shift_call_fwd(e, ps, pd, mask, we, be, wo, bo, lns, lnb,
-                          interpret)
+                          interpret, residual)
     return out, (e, ps, pd, mask, we, be, wo, bo, lns, lnb)
 
 
-def _shift_vjp_bwd(interpret, res, g):
+def _shift_vjp_bwd(interpret, residual, res, g):
     e, ps, pd, mask, we, be, wo, bo, lns, lnb = res
     g_enew, g_agg = g
     de, dps, dpd, dwe, dbe, dwo, dbo, dlns, dlnb = _shift_call_bwd(
-        e, ps, pd, mask, we, be, wo, bo, lns, lnb, g_enew, g_agg, interpret
+        e, ps, pd, mask, we, be, wo, bo, lns, lnb, g_enew, g_agg, interpret,
+        residual
     )
     return (
         de, dps, dpd, jnp.zeros_like(mask),
@@ -971,40 +1001,51 @@ _fused_shift.defvjp(_shift_vjp_fwd, _shift_vjp_bwd)
 
 
 # ------------------------------------------------------------- public op
-@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1))
-def _fused(interpret, mode, e, vs, pd, mask, we, be, wo, bo, lns, lnb):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2))
+def _fused(interpret, mode, residual, e, vs, pd, mask, we, be, wo, bo,
+           lns, lnb):
     return _fwd_call(e, vs, pd, mask, we, be, wo, bo, lns, lnb, mode,
-                     interpret)
+                     interpret, residual)
 
 
 def fused_stencil_message(e, vs, pd, mask, we, be, wo, bo, lns, lnb,
-                          interpret: bool = False, mode: int = 1):
+                          interpret: bool = False, mode: int = 1,
+                          residual: bool = False):
     """(e_new, agg) of the stencil edge-message stage, fused in VMEM.
 
     e, vs: (B, 8, H, W, h) — projected-source-shifted features ride in
     as ``vs`` so the kernel needs no halo logic; pd: (B, H, W, h);
     mask: (8, H, W, 1). Dense/LN params as in _StencilMessage. The
-    nondiff ``interpret``/``mode`` flags ride FIRST through the inner
-    custom_vjp (keyword nondiff args misalign the vjp's residual
-    packing). mode 1 = per-direction tiles; mode 2 = lane-packed
-    direction pairs (same HBM layout, 2h-wide VMEM arithmetic).
+    nondiff ``interpret``/``mode``/``residual`` flags ride FIRST through
+    the inner custom_vjp (keyword nondiff args misalign the vjp's
+    residual packing). mode 1 = per-direction tiles; mode 2 =
+    lane-packed direction pairs (same HBM layout, 2h-wide VMEM
+    arithmetic). residual=True folds the edge-residual update in: the
+    first output becomes ``e + e_new`` (agg still aggregates raw
+    e_new); requires edge features == hidden width.
     """
-    return _fused(bool(interpret), int(mode), e, vs, pd, mask, we, be, wo,
-                  bo, lns, lnb)
+    if residual and e.shape[-1] != we.shape[-1]:
+        raise ValueError(
+            "residual fold requires edge features == hidden width, got "
+            f"{e.shape[-1]} vs {we.shape[-1]}"
+        )
+    return _fused(bool(interpret), int(mode), bool(residual), e, vs, pd,
+                  mask, we, be, wo, bo, lns, lnb)
 
 
-def _vjp_fwd(interpret, mode, e, vs, pd, mask, we, be, wo, bo, lns, lnb):
+def _vjp_fwd(interpret, mode, residual, e, vs, pd, mask, we, be, wo, bo,
+             lns, lnb):
     out = _fwd_call(e, vs, pd, mask, we, be, wo, bo, lns, lnb, mode,
-                    interpret)
+                    interpret, residual)
     return out, (e, vs, pd, mask, we, be, wo, bo, lns, lnb)
 
 
-def _vjp_bwd(interpret, mode, res, g):
+def _vjp_bwd(interpret, mode, residual, res, g):
     e, vs, pd, mask, we, be, wo, bo, lns, lnb = res
     g_enew, g_agg = g
     de, dvs, dpd, dwe, dbe, dwo, dbo, dlns, dlnb = _bwd_call(
         e, vs, pd, mask, we, be, wo, bo, lns, lnb, g_enew, g_agg, mode,
-        interpret
+        interpret, residual
     )
     return (
         de, dvs, dpd, jnp.zeros_like(mask),

@@ -218,9 +218,10 @@ def test_module_fused_equals_xla_path(inputs, monkeypatch, mode):
         lambda hl: mode if hl == 1 else 0,
     )
     real_fwd = stencil_kernel._fwd_call
+    # arg 11 is `interpret` (after the 10 tensors/params and `mode`)
     monkeypatch.setattr(
         stencil_kernel, "_fwd_call",
-        lambda *a: real_fwd(*a[:-1], True),
+        lambda *a: real_fwd(*a[:11], True, *a[12:]),
     )
     params_fused = msg.init(jax.random.key(0), v, e, mask)
     # identical param trees (path and values)
@@ -229,5 +230,98 @@ def test_module_fused_equals_xla_path(inputs, monkeypatch, mode):
         params_xla, params_fused,
     )
     out_fused = msg.apply(params_fused, v, e, mask)
+    for a, b in zip(out_xla, out_fused):
+        np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-5)
+
+
+# ------------------------------------------------------------- residual
+# residual=True folds the consumer's `e + e_new` into the kernel: first
+# output becomes e + e_new (agg still aggregates raw e_new), backward
+# adds the direct de path.
+
+
+def _with_residual(ref_fn):
+    def wrapped(*args):
+        e_new, agg = ref_fn(*args)
+        return args[0] + e_new, agg
+
+    return wrapped
+
+
+@pytest.mark.parametrize("mode", [1, 2, 3])
+def test_residual_forward_and_grads(inputs, shift_inputs, mode):
+    if mode == 3:
+        args = shift_inputs
+        fused = functools.partial(fused_stencil_shift, interpret=True,
+                                  residual=True)
+        ref = _with_residual(reference_shift)
+    else:
+        args = inputs
+        fused = functools.partial(fused_stencil_message, interpret=True,
+                                  mode=mode, residual=True)
+        ref = _with_residual(reference)
+
+    got_eres, got_agg = fused(*args)
+    want_eres, want_agg = ref(*args)
+    np.testing.assert_allclose(got_eres, want_eres, rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(got_agg, want_agg, rtol=1e-5, atol=1e-5)
+
+    rng = np.random.default_rng(mode)
+    g_eres = jnp.asarray(
+        rng.standard_normal((B, 8, H, W, HID)).astype(np.float32)
+    )
+    g_agg = jnp.asarray(rng.standard_normal((B, H, W, HID)).astype(np.float32))
+
+    def loss(fn):
+        def inner(*a):
+            e_res, agg = fn(*a)
+            return jnp.sum(e_res * g_eres) + jnp.sum(agg * g_agg)
+
+        return inner
+
+    argnums = tuple(i for i in range(10) if i != 3)  # all but mask
+    got = jax.grad(loss(fused), argnums=argnums)(*args)
+    want = jax.grad(loss(ref), argnums=argnums)(*args)
+    names = ("e", "vs_or_ps", "pd", "we", "be", "wo", "bo", "lns", "lnb")
+    for name, g, w in zip(names, got, want):
+        np.testing.assert_allclose(
+            g, w, rtol=2e-4, atol=2e-4, err_msg=f"grad {name} mode {mode}"
+        )
+
+
+def test_residual_requires_matching_width(inputs):
+    e, vs, pd, mask, we, be, wo, bo, lns, lnb = inputs
+    with pytest.raises(ValueError, match="residual fold"):
+        fused_stencil_message(e[..., :8], vs, pd, mask, we[:8], be, wo, bo,
+                              lns, lnb, interpret=True, residual=True)
+
+
+def test_module_residual_shift_equals_xla_path(inputs, monkeypatch):
+    """_StencilMessage(residual=True) with mode 3 forced equals the XLA
+    branch's e + e_new — the consumers' folded form."""
+    from py4cast_tpu.models import graph as graph_mod
+    from py4cast_tpu.ops import stencil_kernel
+
+    v = jnp.asarray(
+        np.random.default_rng(5).standard_normal((B, H, W, HID)), jnp.float32
+    )
+    e = inputs[0]
+    mask = inputs[3]
+
+    msg = graph_mod._StencilMessage(HID, 1, "sum", residual=True)
+
+    monkeypatch.setattr(stencil_kernel, "use_fused_stencil", lambda hl: 0)
+    params = msg.init(jax.random.key(0), v, e, mask)
+    out_xla = msg.apply(params, v, e, mask)
+
+    monkeypatch.setattr(
+        stencil_kernel, "use_fused_stencil",
+        lambda hl: 3 if hl == 1 else 0,
+    )
+    monkeypatch.setattr(
+        stencil_kernel, "fused_stencil_shift",
+        functools.partial(stencil_kernel.fused_stencil_shift, interpret=True),
+    )
+    out_fused = msg.apply(params, v, e, mask)
     for a, b in zip(out_xla, out_fused):
         np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-5)
