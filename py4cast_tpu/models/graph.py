@@ -345,6 +345,10 @@ def _build_lattice_meta(
         lat[f"lat_down_{lev}_feats"] = down_f
         lat[f"lat_down_{lev}_rows"] = ri.astype(np.int32)
         lat[f"lat_down_{lev}_cols"] = ci.astype(np.int32)
+        # down takes coarse→fine along the same nearest map; the matmul
+        # take form (sep_take_mm) reuses up's selection matrices
+        lat[f"lat_down_{lev}_ar"] = a_r
+        lat[f"lat_down_{lev}_ac"] = a_c
 
     # --- g2m: grid (fine) → mesh level 0 (coarse), nearest
     hw0 = level_hw[0]
@@ -371,6 +375,13 @@ def _build_lattice_meta(
     lat["lat_m2g_feats"] = m2g_f
     lat["lat_m2g_rows"] = np.stack([r0, r1]).astype(np.int32)
     lat["lat_m2g_cols"] = np.stack([c0, c1]).astype(np.int32)
+    # per-corner selection matrices for the matmul take form
+    lat["lat_m2g_ar"] = np.stack(
+        [sel_matrix(r0, hw0[0]), sel_matrix(r1, hw0[0])]
+    )
+    lat["lat_m2g_ac"] = np.stack(
+        [sel_matrix(c0, hw0[1]), sel_matrix(c1, hw0[1])]
+    )
 
     # --- multimesh: per-level dilated stencils on level-0 sub-lattices,
     # sharing the union's feature normalization scale
@@ -697,13 +708,13 @@ class _NearestMessage(nn.Module):
 
     @nn.compact
     def __call__(self, v_fine, v_coarse, e, lat: dict):
-        from py4cast_tpu.ops.lattice_ops import sep_aggregate, sep_take
+        from py4cast_tpu.ops.lattice_ops import sep_aggregate, sep_take_mm
 
         h = self.hidden_dim
         pe = nn.Dense(h, name="w_e")(e)
         ps = nn.Dense(h, use_bias=False, name="w_s")(v_fine)
         pd = nn.Dense(h, use_bias=False, name="w_d")(v_coarse)
-        z = nn.silu(pe + ps + sep_take(pd, lat["rows"], lat["cols"]))
+        z = nn.silu(pe + ps + sep_take_mm(pd, lat["ar"], lat["ac"]))
         for i in range(self.hidden_layers - 1):
             z = nn.silu(nn.Dense(h, name=f"hidden_{i}")(z))
         e_new = nn.LayerNorm(name="ln")(nn.Dense(h, name="out")(z))
@@ -723,13 +734,13 @@ class _ReverseNearestMessage(nn.Module):
 
     @nn.compact
     def __call__(self, v_coarse, v_fine, e, lat: dict):
-        from py4cast_tpu.ops.lattice_ops import sep_take
+        from py4cast_tpu.ops.lattice_ops import sep_take_mm
 
         h = self.hidden_dim
         pe = nn.Dense(h, name="w_e")(e)
         ps = nn.Dense(h, use_bias=False, name="w_s")(v_coarse)
         pd = nn.Dense(h, use_bias=False, name="w_d")(v_fine)
-        z = nn.silu(pe + sep_take(ps, lat["rows"], lat["cols"]) + pd)
+        z = nn.silu(pe + sep_take_mm(ps, lat["ar"], lat["ac"]) + pd)
         for i in range(self.hidden_layers - 1):
             z = nn.silu(nn.Dense(h, name=f"hidden_{i}")(z))
         e_new = nn.LayerNorm(name="ln")(nn.Dense(h, name="out")(z))
@@ -788,7 +799,7 @@ class LatticeEncodeDecode(nn.Module):
 
     @nn.compact
     def __call__(self, v_src, v_dst, lat: dict):
-        from py4cast_tpu.ops.lattice_ops import sep_aggregate, sep_take
+        from py4cast_tpu.ops.lattice_ops import sep_aggregate, sep_take_mm
 
         h = self.hidden_dim
         w_f = nn.Dense(h, name="w_f")
@@ -802,18 +813,18 @@ class LatticeEncodeDecode(nn.Module):
 
         if self.kind == "nearest":
             pf = w_f(lat["feats"])[None]
-            pre = pf + ps + sep_take(pd, lat["rows"], lat["cols"])
+            pre = pf + ps + sep_take_mm(pd, lat["ar"], lat["ac"])
             agg = sep_aggregate(tail(pre), lat["ar"], lat["ac"])
             if self.aggr == "mean":
                 agg = agg / jnp.maximum(lat["count"][None], 1.0)
         else:
             pf = w_f(lat["feats"])  # (4, fh, fw, h)
-            rows, cols = lat["rows"], lat["cols"]
+            ar, ac = lat["ar"], lat["ac"]
             # pack the 4 corner hops into one leading dim: ONE dense+LN
             # pass over a (4, B, fh, fw, h) tensor instead of 4
             # sequential passes (4x-taller matmuls for the MXU)
             ps_g = jnp.stack(
-                [sep_take(ps, rows[k // 2], cols[k % 2]) for k in range(4)],
+                [sep_take_mm(ps, ar[k // 2], ac[k % 2]) for k in range(4)],
                 axis=0,
             )
             agg = tail(pf[:, None] + ps_g + pd[None]).sum(axis=0)
@@ -898,7 +909,7 @@ class _LatticeUnionBlock(nn.Module):
 
     @nn.compact
     def __call__(self, v0, e_levels, lat: dict):
-        from py4cast_tpu.ops.lattice_ops import sep_aggregate, sep_take
+        from py4cast_tpu.ops.lattice_ops import sep_aggregate, sep_take_mm
 
         msg = _StencilMessage(
             self.hidden_dim, self.hidden_layers, "sum", name="edge",
@@ -908,9 +919,9 @@ class _LatticeUnionBlock(nn.Module):
         new_e = []
         for lev, e in enumerate(e_levels):
             full = e.shape[2:4] == v0.shape[1:3]
-            rows = lat[f"lat_multi_{lev}_rows"]
-            cols = lat[f"lat_multi_{lev}_cols"]
-            v_l = v0 if full else sep_take(v0, rows, cols)
+            v_l = v0 if full else sep_take_mm(
+                v0, lat[f"lat_multi_{lev}_sr"], lat[f"lat_multi_{lev}_sc"]
+            )
             e_new, agg = msg(v_l, e, lat[f"lat_multi_{lev}_mask"])
             new_e.append(e_new)
             if not full:
@@ -1040,9 +1051,19 @@ class _LatticeHiLAMParallelStep(nn.Module):
 
 
 def _scan_layers(step_kls, num_layers: int, name: str, **kwargs):
-    """nn.scan over stacked per-layer params: one compiled body."""
+    """nn.scan over stacked per-layer params: one compiled body.
+
+    The body is rematerialized (scan-over-remat): the backward pass
+    recomputes each layer's interior from its carry instead of saving
+    every intermediate. Device traces show the save path dominated the
+    step — per-layer residual stacks plus the VMEM-prefetch copies XLA
+    schedules for them cost ~6x the layer's own compute (HiLAM 500x500:
+    14 ms of a 24 ms train step in the two processor whiles, against a
+    2.3 ms total forward). Recomputing is ~1 extra forward (~1 ms).
+    ``prevent_cse=False`` is safe (and required for efficiency) under
+    scan, per jax.checkpoint docs."""
     return nn.scan(
-        step_kls,
+        nn.remat(step_kls, prevent_cse=False),
         variable_axes={"params": 0},
         split_rngs={"params": True},
         length=num_layers,

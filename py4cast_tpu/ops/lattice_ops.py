@@ -55,6 +55,22 @@ def sep_take(v: jnp.ndarray, rows: jnp.ndarray, cols: jnp.ndarray) -> jnp.ndarra
     return jnp.take(jnp.take(v, rows, axis=-3), cols, axis=-2)
 
 
+def sep_take_mm(v: jnp.ndarray, a_rows: jnp.ndarray,
+                a_cols: jnp.ndarray) -> jnp.ndarray:
+    """``sep_take`` expressed as transposed 0/1 selection matmuls:
+    out = a_rows^T · v · a_cols, with a_rows (ch, fh) the aggregation
+    matrix of ``sel_matrix`` (a_rows[rows[i], i] = 1; a_cols likewise).
+    Exact — each output cell selects exactly one source cell, no sums.
+
+    Use this form in DIFFERENTIATED code: ``jnp.take``'s VJP is a
+    scatter-add, which XLA serializes on TPU — the backward of the
+    grid-sized g2m/m2g takes alone cost ~10x the whole forward pass
+    (measured, 500x500 HiLAM). The matmul's linear transpose is
+    ``sep_aggregate``'s matmul, so both directions ride the MXU."""
+    x = jnp.einsum("Ri,...Rjh->...ijh", a_rows, v)
+    return jnp.einsum("Cj,...iCh->...ijh", a_cols, x)
+
+
 def sep_aggregate(x: jnp.ndarray, a_rows: jnp.ndarray,
                   a_cols: jnp.ndarray) -> jnp.ndarray:
     """Separable sum-aggregation (fine → coarse) via 0/1 selection

@@ -115,6 +115,15 @@ def test_sep_take_and_aggregate():
     taken = np.asarray(sep_take(jnp.asarray(x[:, :3, :3]), rows, cols))
     ref = np.asarray(x)[:, :3, :3][:, rows][:, :, cols]
     np.testing.assert_array_equal(taken, ref)
+    # matmul take form must match exactly (0/1 selection, no summation)
+    a_r3, a_c3 = (
+        jnp.asarray(sel_matrix(rows, 3)),
+        jnp.asarray(sel_matrix(cols, 3)),
+    )
+    from py4cast_tpu.ops.lattice_ops import sep_take_mm
+
+    taken_mm = np.asarray(sep_take_mm(jnp.asarray(x[:, :3, :3]), a_r3, a_c3))
+    np.testing.assert_array_equal(taken_mm, ref)
     # aggregate: brute-force per-destination sum
     a_r, a_c = jnp.asarray(sel_matrix(rows, 3)), jnp.asarray(sel_matrix(cols, 3))
     agg = np.asarray(sep_aggregate(x, a_r, a_c))
