@@ -629,6 +629,24 @@ class _LNParams(nn.Module):
         )
 
 
+class _NodeMLPParams(nn.Module):
+    """MLP-shaped params (Dense_0 → Dense_1 → LayerNorm_0, the auto
+    names flax gives ``MLP``'s submodules at hidden_layers=1) WITHOUT
+    applying them — consumed raw by fused kernels. Param trees and
+    checkpoints stay interchangeable with the XLA path."""
+
+    hidden_dim: int
+
+    @nn.compact
+    def __call__(self, in_features: int):
+        k0, b0 = _DenseParams(self.hidden_dim, name="Dense_0")(in_features)
+        k1, b1 = _DenseParams(self.hidden_dim, name="Dense_1")(
+            self.hidden_dim
+        )
+        s, b = _LNParams(name="LayerNorm_0")(self.hidden_dim)
+        return k0, b0, k1, b1, s, b
+
+
 class _StencilMessage(nn.Module):
     """EdgeMessage on an 8-neighbor lattice stencil. Edge states live as
     (B, 8, H, W, h) dense arrays in DIRS8 order; the per-edge source
@@ -799,11 +817,44 @@ class LatticeEncodeDecode(nn.Module):
 
     @nn.compact
     def __call__(self, v_src, v_dst, lat: dict):
+        from py4cast_tpu.ops.hop_kernel import (
+            fused_corner_hop,
+            padded_width,
+            use_fused_hop,
+        )
         from py4cast_tpu.ops.lattice_ops import sep_aggregate, sep_take_mm
 
         h = self.hidden_dim
-        w_f = nn.Dense(h, name="w_f")
         ps = nn.Dense(h, use_bias=False, name="w_s")(v_src)
+        if self.kind == "corners" and use_fused_hop(self.hidden_layers):
+            # fused Pallas m2g: everything downstream of the corner
+            # upsample runs in one VMEM pass (ops/hop_kernel.py); param
+            # tree and numerics match the XLA path below
+            kf, bf = _DenseParams(h, name="w_f")(lat["feats"].shape[-1])
+            kd, _ = _DenseParams(h, use_bias=False, name="w_d")(
+                v_dst.shape[-1]
+            )
+            ko, bo = _DenseParams(h, name="out")(h)
+            lns, lnb = _LNParams(name="ln")(h)
+            nd0, nb0, nd1, nb1, nlns, nlnb = _NodeMLPParams(
+                h, name="node"
+            )(2 * h)
+            ar, ac = lat["ar"], lat["ac"]
+            # zero-pad the column selection so each corner upsample is
+            # born at the kernel's tile-aligned width — no grid-sized
+            # pad ops in the step, and pad gradients vanish exactly
+            wp = padded_width(v_dst.shape[-2])
+            if ac.shape[-1] != wp:
+                ac = jnp.pad(ac, ((0, 0), (0, 0), (0, wp - ac.shape[-1])))
+            ps_g = tuple(
+                sep_take_mm(ps, ar[k // 2], ac[k % 2]) for k in range(4)
+            )
+            return fused_corner_hop(
+                ps_g, v_dst, lat["feats"], kf, bf, kd, ko, bo, lns, lnb,
+                nd0[:h], nd0[h:], nb0, nd1, nb1, nlns, nlnb,
+                mean=self.aggr == "mean",
+            )
+        w_f = nn.Dense(h, name="w_f")
         pd = nn.Dense(h, use_bias=False, name="w_d")(v_dst)
         out_d = nn.Dense(h, name="out")
         ln = nn.LayerNorm(name="ln")

@@ -153,8 +153,12 @@ class _EPAScanStep(nn.Module):
 def _epa_stage(h, depth: int, dim: int, heads: int, proj_size: int, name: str):
     if depth <= 1:
         return EPABlock(dim, heads, proj_size, name=name)(h)
+    # scan-over-remat: recompute the block interior in the backward
+    # instead of stacking per-repeat residuals (see graph._scan_layers —
+    # the residual save/prefetch path costs multiples of the block's own
+    # compute on TPU)
     scan = nn.scan(
-        _EPAScanStep,
+        nn.remat(_EPAScanStep, prevent_cse=False),
         variable_axes={"params": 0},
         split_rngs={"params": True},
         length=depth,

@@ -1,0 +1,460 @@
+"""Fused Pallas kernel for the lattice m2g (mesh→grid) corner hop.
+
+Device traces (bin/trace_gnn.py, HiLAM 500x500) put the m2g hop at
+~5 ms of a ~17 ms train step: XLA materializes the grid-sized silu
+pre-activation, the LayerNorm input and its fp32 statistics for FOUR
+corner copies of the grid — ~0.8 GB of HLO-level traffic for a stage
+whose true inputs and outputs are ~0.2 GB. This kernel computes, per
+(row-band × column-tile) block held in VMEM,
+
+    pd      = v_dst @ Wd                      (destination projection)
+    pre_k   = feats_k @ Wf + bf + psg_k + pd   (k = 4 corners)
+    t_k     = LN(silu(pre_k) @ Wo + bo)
+    agg     = Σ_k t_k            (/4 for mean aggregation)
+    u       = silu(v_dst @ Nd0a + agg @ Nd0b + nb0)   (node MLP, concat
+    y       = LN(u @ Nd1 + nb1)                        split into 2 mms)
+    v_out   = v_dst + y
+
+so HBM sees only the four psg_k (corner-upsampled source states, built
+outside by ``sep_take_mm`` selection matmuls — pass them as FOUR arrays,
+never stacked: the (4, B, H, W, h) concatenate alone cost 0.7 ms), the
+destination states, the static corner feats, and v_out. The backward
+pass is a second kernel (custom_vjp, flash-attention-style recompute):
+one corner pass caches (pre, sig, xhat, inv) per corner in VMEM, the
+node MLP is differentiated, then a second short pass emits dpsg_k and
+accumulates all weight/LN gradients in fp32 across the sequential grid.
+
+Mosaic limits that shaped the blocking (all measured on v5e):
+- full-width blocks beyond W=256 crash the compiler → column tiles;
+- non-full W blocks must be 8-divisible → W is zero-padded to a
+  256-tileable width. Build psg_k PRE-PADDED by padding the column
+  selection matrix (``padded_width``) — zero columns make every pad
+  contribution to outputs and gradients exactly zero;
+- bh=5 × bw=256 overflowed the 16 MB scoped-vmem stack → bh=4.
+
+Exactness vs the unfused formula is pinned by tests/test_hop_kernel.py
+(interpret mode on CPU, forward and every gradient).
+
+Reference behavior being accelerated: neural-lam mesh→grid decode hop
+as used by the reference's mfai GNNs (SURVEY.md §2.2).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+
+LN_EPS = 1e-6  # flax nn.LayerNorm default
+
+
+def _pick_bh(h_rows: int) -> int:
+    """Row-band height: a small divisor (grid heights are often
+    multiples of 5). The backward holds ~25 (bh, bw, h) fp32 slabs in
+    VMEM — bh=5 with bw=256 overflowed the 16 MB scoped-vmem stack."""
+    for bh in (4, 5, 8, 6, 3, 2, 1):
+        if h_rows % bh == 0:
+            return bh
+    return 1
+
+
+def _pick_bw(w: int):
+    """Column tiling: Mosaic rejects this kernel's full-width slabs
+    beyond W=256 (measured: 256 compiles, 320+ crashes the compiler),
+    and non-full W blocks must be 8-divisible. Returns (w_padded, bw)."""
+    if w <= 256:
+        return w, w
+    for bw in range(256, 7, -1):
+        if w % bw == 0 and bw % 8 == 0:
+            return w, bw
+    wp = -(-w // 256) * 256
+    return wp, 256
+
+
+def padded_width(w: int) -> int:
+    """The W the kernel runs at. Build psg_k at this width directly (pad
+    the column selection matrix with zero columns) so no 100 MB-scale
+    pad/slice ops appear in the step."""
+    return _pick_bw(w)[0]
+
+
+def _pad_w(x, wp, axis=-2):
+    if x.shape[axis] == wp:
+        return x
+    pad = [(0, 0)] * x.ndim
+    pad[axis] = (0, wp - x.shape[axis])
+    return jnp.pad(x, pad)
+
+
+def _mm(a, b):
+    return jax.lax.dot_general(
+        a, b, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )
+
+
+def _ln_fwd(t, lns, lnb):
+    mu = jnp.mean(t, axis=-1, keepdims=True)
+    var = jnp.mean((t - mu) ** 2, axis=-1, keepdims=True)
+    inv = jax.lax.rsqrt(var + LN_EPS)
+    xhat = (t - mu) * inv
+    return xhat * lns + lnb, xhat, inv
+
+
+def _ln_bwd(g, xhat, inv, lns):
+    """d/dt of LN given upstream g; also returns (dlns, dlnb) sums."""
+    gx = g * lns
+    dt = (
+        gx
+        - jnp.mean(gx, axis=-1, keepdims=True)
+        - xhat * jnp.mean(gx * xhat, axis=-1, keepdims=True)
+    ) * inv
+    h = g.shape[-1]
+    dlns = jnp.sum((g * xhat).reshape(-1, h), axis=0)
+    dlnb = jnp.sum(g.reshape(-1, h), axis=0)
+    return dt, dlns, dlnb
+
+
+# ------------------------------------------------------------------ forward
+def _fwd_kernel(psg0_ref, psg1_ref, psg2_ref, psg3_ref, vd_ref, feats_ref,
+                wf_ref, bf_ref, wd_ref, wo_ref, bo_ref, lns_ref, lnb_ref,
+                nd0a_ref, nd0b_ref, nb0_ref, nd1_ref, nb1_ref,
+                nlns_ref, nlnb_ref,
+                vout_ref, *, mean):
+    psg_refs = (psg0_ref, psg1_ref, psg2_ref, psg3_ref)
+    ff = feats_ref.shape[-1]
+    h = wd_ref.shape[-1]
+    vd = vd_ref[0].astype(jnp.float32)  # (bh, bw, h)
+    sh = vd.shape
+    wf = wf_ref[...].astype(jnp.float32)
+    bf = bf_ref[...].astype(jnp.float32)
+    wo = wo_ref[...].astype(jnp.float32)
+    bo = bo_ref[...].astype(jnp.float32)
+    lns = lns_ref[...].astype(jnp.float32)
+    lnb = lnb_ref[...].astype(jnp.float32)
+
+    pd = _mm(vd.reshape(-1, h), wd_ref[...].astype(jnp.float32)).reshape(sh)
+    agg = jnp.zeros(sh, jnp.float32)
+    for k in range(4):
+        fe = feats_ref[k].astype(jnp.float32)
+        pf = _mm(fe.reshape(-1, ff), wf).reshape(sh) + bf
+        pre = pf + psg_refs[k][0].astype(jnp.float32) + pd
+        z = pre * jax.nn.sigmoid(pre)
+        t = _mm(z.reshape(-1, h), wo).reshape(sh) + bo
+        t_ln, _, _ = _ln_fwd(t, lns, lnb)
+        agg = agg + t_ln
+    if mean:
+        agg = agg * 0.25
+
+    u_pre = (
+        _mm(vd.reshape(-1, h), nd0a_ref[...].astype(jnp.float32))
+        + _mm(agg.reshape(-1, h), nd0b_ref[...].astype(jnp.float32))
+        + nb0_ref[...].astype(jnp.float32)
+    )
+    u = u_pre * jax.nn.sigmoid(u_pre)
+    y = _mm(u, nd1_ref[...].astype(jnp.float32)) + nb1_ref[...].astype(
+        jnp.float32
+    )
+    y_ln, _, _ = _ln_fwd(
+        y.reshape(sh),
+        nlns_ref[...].astype(jnp.float32),
+        nlnb_ref[...].astype(jnp.float32),
+    )
+    vout_ref[0] = (vd + y_ln).astype(vout_ref.dtype)
+
+
+# ----------------------------------------------------------------- backward
+def _bwd_kernel(psg0_ref, psg1_ref, psg2_ref, psg3_ref, vd_ref, feats_ref,
+                wf_ref, wd_ref, wo_ref, bo_ref, lns_ref, lnb_ref, bf_ref,
+                nd0a_ref, nd0b_ref, nb0_ref, nd1_ref, nb1_ref,
+                nlns_ref, nlnb_ref,
+                g_ref,
+                dpsg0_ref, dpsg1_ref, dpsg2_ref, dpsg3_ref, dvd_ref,
+                dwf_ref, dbf_ref, dwd_ref, dwo_ref, dbo_ref,
+                dlns_ref, dlnb_ref,
+                dnd0a_ref, dnd0b_ref, dnb0_ref, dnd1_ref, dnb1_ref,
+                dnlns_ref, dnlnb_ref, *, mean):
+    psg_refs = (psg0_ref, psg1_ref, psg2_ref, psg3_ref)
+    dpsg_refs = (dpsg0_ref, dpsg1_ref, dpsg2_ref, dpsg3_ref)
+    ff = feats_ref.shape[-1]
+    h = wd_ref.shape[-1]
+    first = (
+        (pl.program_id(0) == 0)
+        & (pl.program_id(1) == 0)
+        & (pl.program_id(2) == 0)
+    )
+
+    @pl.when(first)
+    def _init():
+        for r in (dwf_ref, dbf_ref, dwd_ref, dwo_ref, dbo_ref, dlns_ref,
+                  dlnb_ref, dnd0a_ref, dnd0b_ref, dnb0_ref, dnd1_ref,
+                  dnb1_ref, dnlns_ref, dnlnb_ref):
+            r[...] = jnp.zeros_like(r)
+
+    vd = vd_ref[0].astype(jnp.float32)
+    sh = vd.shape
+    g = g_ref[0].astype(jnp.float32)
+    wf = wf_ref[...].astype(jnp.float32)
+    bf = bf_ref[...].astype(jnp.float32)
+    wd = wd_ref[...].astype(jnp.float32)
+    wo = wo_ref[...].astype(jnp.float32)
+    bo = bo_ref[...].astype(jnp.float32)
+    lns = lns_ref[...].astype(jnp.float32)
+    lnb = lnb_ref[...].astype(jnp.float32)
+    nd0a = nd0a_ref[...].astype(jnp.float32)
+    nd0b = nd0b_ref[...].astype(jnp.float32)
+    nb0 = nb0_ref[...].astype(jnp.float32)
+    nd1 = nd1_ref[...].astype(jnp.float32)
+    nb1 = nb1_ref[...].astype(jnp.float32)
+    nlns = nlns_ref[...].astype(jnp.float32)
+    nlnb = nlnb_ref[...].astype(jnp.float32)
+
+    # ---- single recompute pass, caching per-corner LN internals
+    pd = _mm(vd.reshape(-1, h), wd).reshape(sh)
+    agg = jnp.zeros(sh, jnp.float32)
+    pre_c, sig_c, xhat_c, inv_c = [], [], [], []
+    for k in range(4):
+        fe = feats_ref[k].astype(jnp.float32)
+        pf = _mm(fe.reshape(-1, ff), wf).reshape(sh) + bf
+        pre = pf + psg_refs[k][0].astype(jnp.float32) + pd
+        sig = jax.nn.sigmoid(pre)
+        z = pre * sig
+        t = _mm(z.reshape(-1, h), wo).reshape(sh) + bo
+        t_ln, xhat, inv = _ln_fwd(t, lns, lnb)
+        agg = agg + t_ln
+        pre_c.append(pre)
+        sig_c.append(sig)
+        xhat_c.append(xhat)
+        inv_c.append(inv)
+    if mean:
+        agg = agg * 0.25
+    u_pre = (
+        _mm(vd.reshape(-1, h), nd0a)
+        + _mm(agg.reshape(-1, h), nd0b)
+        + nb0
+    )
+    sig_u = jax.nn.sigmoid(u_pre)
+    u = u_pre * sig_u
+    y = _mm(u, nd1) + nb1
+    _, xhat_n, inv_n = _ln_fwd(y.reshape(sh), nlns, nlnb)
+
+    # ---- node backward
+    dy, dnlns, dnlnb = _ln_bwd(g, xhat_n, inv_n, nlns)
+    dnlns_ref[...] += dnlns
+    dnlnb_ref[...] += dnlnb
+    dy2 = dy.reshape(-1, h)
+    dnd1_ref[...] += _mm(u.T, dy2)
+    dnb1_ref[...] += jnp.sum(dy2, axis=0)
+    du = _mm(dy2, nd1.T)
+    dupre = du * (sig_u * (1.0 + u_pre * (1.0 - sig_u)))
+    dnd0a_ref[...] += _mm(vd.reshape(-1, h).T, dupre)
+    dnd0b_ref[...] += _mm(agg.reshape(-1, h).T, dupre)
+    dnb0_ref[...] += jnp.sum(dupre, axis=0)
+    dvd = g + _mm(dupre, nd0a.T).reshape(sh)  # residual + node path
+    dagg = _mm(dupre, nd0b.T).reshape(sh)
+    if mean:
+        dagg = dagg * 0.25
+
+    # ---- per-corner backward from the cached internals
+    dpd = jnp.zeros(sh, jnp.float32)
+    for k in range(4):
+        pre, sig, xhat, inv = pre_c[k], sig_c[k], xhat_c[k], inv_c[k]
+        dt, dlns, dlnb = _ln_bwd(dagg, xhat, inv, lns)
+        dlns_ref[...] += dlns
+        dlnb_ref[...] += dlnb
+        dt2 = dt.reshape(-1, h)
+        dwo_ref[...] += _mm((pre * sig).reshape(-1, h).T, dt2)
+        dbo_ref[...] += jnp.sum(dt2, axis=0)
+        dz = _mm(dt2, wo.T).reshape(sh)
+        dpre = dz * (sig * (1.0 + pre * (1.0 - sig)))
+        dpsg_refs[k][0] = dpre.astype(dpsg_refs[k].dtype)
+        dpd = dpd + dpre
+        dpre2 = dpre.reshape(-1, h)
+        fe = feats_ref[k].astype(jnp.float32)
+        dwf_ref[...] += _mm(fe.reshape(-1, ff).T, dpre2)
+        dbf_ref[...] += jnp.sum(dpre2, axis=0)
+
+    dvd = dvd + _mm(dpd.reshape(-1, h), wd.T).reshape(sh)
+    dwd_ref[...] += _mm(vd.reshape(-1, h).T, dpd.reshape(-1, h))
+    dvd_ref[0] = dvd.astype(dvd_ref.dtype)
+
+
+# ------------------------------------------------------------------- driver
+def _specs(bh, bw, h, ff):
+    full = lambda *s: pl.BlockSpec(  # noqa: E731
+        s, lambda i, j, k: tuple(0 for _ in s)
+    )
+    band = pl.BlockSpec((1, bh, bw, h), lambda i, j, k: (i, j, k, 0))
+    featb = pl.BlockSpec((4, bh, bw, ff), lambda i, j, k: (0, j, k, 0))
+    return full, band, featb
+
+
+def _fwd_call(psg, vd, feats, wf, bf, wd, wo, bo, lns, lnb,
+              nd0a, nd0b, nb0, nd1, nb1, nlns, nlnb, mean, interpret):
+    b, hr, w, h = vd.shape
+    ff = feats.shape[-1]
+    bh = _pick_bh(hr)
+    wp, bw = _pick_bw(w)
+    psg = tuple(_pad_w(p, wp) for p in psg)  # no-op when built pre-padded
+    vd_p, feats_p = _pad_w(vd, wp), _pad_w(feats, wp)
+    full, band, featb = _specs(bh, bw, h, ff)
+    out = pl.pallas_call(
+        functools.partial(_fwd_kernel, mean=mean),
+        grid=(b, hr // bh, wp // bw),
+        in_specs=[
+            band, band, band, band, band, featb,
+            full(ff, h), full(h), full(h, h), full(h, h), full(h),
+            full(h), full(h),
+            full(h, h), full(h, h), full(h), full(h, h), full(h),
+            full(h), full(h),
+        ],
+        out_specs=band,
+        out_shape=jax.ShapeDtypeStruct((b, hr, wp, h), vd.dtype),
+        interpret=interpret,
+    )(*psg, vd_p, feats_p, wf, bf, wd, wo, bo, lns, lnb,
+      nd0a, nd0b, nb0, nd1, nb1, nlns, nlnb)
+    return out[:, :, :w]
+
+
+def _bwd_call(psg, vd, feats, wf, bf, wd, wo, bo, lns, lnb,
+              nd0a, nd0b, nb0, nd1, nb1, nlns, nlnb, g, mean, interpret):
+    b, hr, w, h = vd.shape
+    ff = feats.shape[-1]
+    bh = _pick_bh(hr)
+    wp, bw = _pick_bw(w)
+    # zero-padding is exact: g is zero in the pad, so every pad
+    # contribution to input and weight gradients vanishes
+    pw = psg[0].shape[-2]  # caller's psg width (wp when built pre-padded)
+    psg = tuple(_pad_w(p, wp) for p in psg)
+    vd_p, feats_p, g_p = _pad_w(vd, wp), _pad_w(feats, wp), _pad_w(g, wp)
+    # the backward caches 12 extra per-corner slabs — at bw=256 it
+    # overflows the 16 MB scoped-vmem stack (21.1 MB measured), so halve
+    # the column tile
+    if bw > 128 and bw % 2 == 0:
+        bw //= 2
+    full, band, featb = _specs(bh, bw, h, ff)
+    f32 = jnp.float32
+    pshape = jax.ShapeDtypeStruct((b, hr, wp, h), psg[0].dtype)
+    out_shapes = (
+        pshape, pshape, pshape, pshape,                # dpsg_k
+        jax.ShapeDtypeStruct((b, hr, wp, h), vd.dtype),  # dvd
+        jax.ShapeDtypeStruct((ff, h), f32),            # dwf
+        jax.ShapeDtypeStruct((h,), f32),               # dbf
+        jax.ShapeDtypeStruct((h, h), f32),             # dwd
+        jax.ShapeDtypeStruct((h, h), f32),             # dwo
+        jax.ShapeDtypeStruct((h,), f32),               # dbo
+        jax.ShapeDtypeStruct((h,), f32),               # dlns
+        jax.ShapeDtypeStruct((h,), f32),               # dlnb
+        jax.ShapeDtypeStruct((h, h), f32),             # dnd0a
+        jax.ShapeDtypeStruct((h, h), f32),             # dnd0b
+        jax.ShapeDtypeStruct((h,), f32),               # dnb0
+        jax.ShapeDtypeStruct((h, h), f32),             # dnd1
+        jax.ShapeDtypeStruct((h,), f32),               # dnb1
+        jax.ShapeDtypeStruct((h,), f32),               # dnlns
+        jax.ShapeDtypeStruct((h,), f32),               # dnlnb
+    )
+    outs = pl.pallas_call(
+        functools.partial(_bwd_kernel, mean=mean),
+        grid=(b, hr // bh, wp // bw),
+        in_specs=[
+            band, band, band, band, band, featb,
+            full(ff, h), full(h, h), full(h, h), full(h), full(h),
+            full(h), full(h),
+            full(h, h), full(h, h), full(h), full(h, h), full(h),
+            full(h), full(h),
+            band,                                       # g
+        ],
+        out_specs=[
+            band, band, band, band, band,
+            full(ff, h), full(h), full(h, h), full(h, h), full(h),
+            full(h), full(h),
+            full(h, h), full(h, h), full(h), full(h, h), full(h),
+            full(h), full(h),
+        ],
+        out_shape=out_shapes,
+        interpret=interpret,
+    )(*psg, vd_p, feats_p, wf, wd, wo, bo, lns, lnb, bf,
+      nd0a, nd0b, nb0, nd1, nb1, nlns, nlnb, g_p)
+    # dpsg_k go back at the caller's psg width (pre-padded callers get
+    # them unchanged); dvd at the true width
+    dpsg = tuple(o[:, :, :pw] for o in outs[:4])
+    return dpsg + (outs[4][:, :, :w],) + outs[5:]
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1))
+def _fused(mean, interpret, psg0, psg1, psg2, psg3, vd, feats,
+           wf, bf, wd, wo, bo, lns, lnb,
+           nd0a, nd0b, nb0, nd1, nb1, nlns, nlnb):
+    return _fwd_call((psg0, psg1, psg2, psg3), vd, feats,
+                     wf, bf, wd, wo, bo, lns, lnb,
+                     nd0a, nd0b, nb0, nd1, nb1, nlns, nlnb, mean, interpret)
+
+
+def _vjp_fwd(mean, interpret, psg0, psg1, psg2, psg3, vd, feats,
+             wf, bf, wd, wo, bo, lns, lnb,
+             nd0a, nd0b, nb0, nd1, nb1, nlns, nlnb):
+    out = _fwd_call((psg0, psg1, psg2, psg3), vd, feats,
+                    wf, bf, wd, wo, bo, lns, lnb,
+                    nd0a, nd0b, nb0, nd1, nb1, nlns, nlnb, mean, interpret)
+    return out, (psg0, psg1, psg2, psg3, vd, feats, wf, bf, wd, wo, bo,
+                 lns, lnb, nd0a, nd0b, nb0, nd1, nb1, nlns, nlnb)
+
+
+def _vjp_bwd(mean, interpret, res, g):
+    (psg0, psg1, psg2, psg3, vd, feats, wf, bf, wd, wo, bo, lns, lnb,
+     nd0a, nd0b, nb0, nd1, nb1, nlns, nlnb) = res
+    (dpsg0, dpsg1, dpsg2, dpsg3, dvd, dwf, dbf, dwd, dwo, dbo, dlns, dlnb,
+     dnd0a, dnd0b, dnb0, dnd1, dnb1, dnlns, dnlnb) = _bwd_call(
+        (psg0, psg1, psg2, psg3), vd, feats, wf, bf, wd, wo, bo, lns, lnb,
+        nd0a, nd0b, nb0, nd1, nb1, nlns, nlnb, g, mean, interpret
+    )
+    dfeats = jnp.zeros_like(feats)  # static graph data; DCE'd by jit
+    cast = lambda dx, x: dx.astype(x.dtype)  # noqa: E731
+    return (dpsg0, dpsg1, dpsg2, dpsg3, dvd, dfeats,
+            cast(dwf, wf), cast(dbf, bf), cast(dwd, wd), cast(dwo, wo),
+            cast(dbo, bo), cast(dlns, lns), cast(dlnb, lnb),
+            cast(dnd0a, nd0a), cast(dnd0b, nd0b), cast(dnb0, nb0),
+            cast(dnd1, nd1), cast(dnb1, nb1), cast(dnlns, nlns),
+            cast(dnlnb, nlnb))
+
+
+_fused.defvjp(_vjp_fwd, _vjp_bwd)
+
+
+def fused_corner_hop(psg, vd, feats, wf, bf, wd, wo, bo, lns, lnb,
+                     nd0a, nd0b, nb0, nd1, nb1, nlns, nlnb,
+                     mean: bool = False, interpret: bool = False):
+    """v_out for the m2g corner hop with everything downstream of the
+    corner upsample fused into one VMEM pass (see module docstring).
+
+    psg: sequence of FOUR (B, H, Wk, h) corner-upsampled source
+    projections — build them at ``padded_width(W)`` (pad the column
+    selection matrix) so no grid-sized pad ops appear; vd: (B, H, W, h)
+    destination grid states; feats: (4, H, W, F) static corner
+    features. nd0a/nd0b are the node MLP's first Dense kernel split at
+    the concat boundary ([v_dst, agg] → rows [:h] and [h:])."""
+    p0, p1, p2, p3 = psg
+    return _fused(bool(mean), bool(interpret), p0, p1, p2, p3, vd, feats,
+                  wf, bf, wd, wo, bo, lns, lnb,
+                  nd0a, nd0b, nb0, nd1, nb1, nlns, nlnb)
+
+
+def use_fused_hop(hidden_layers: int) -> bool:
+    """Opt-in via P4T_FUSED_HOP=1 (TPU, default edge-MLP depth only).
+
+    Measured on v5e (HiLAM 500x500 b1, after the scan-over-remat and
+    sep_take_mm fixes): XLA path 50.3 samples/s, this kernel 44.1 —
+    the kernel's HLO-level traffic is lower (14.7 → 12.1 GB/step) but
+    its h=64 channels fill only half of the 128 VMEM lanes and the
+    custom-call serializes against the DMA overlap XLA schedules, so it
+    does not (yet) beat XLA here. Kept as scaffolding: lane-packing
+    corner pairs to 2h=128 (the stencil mode-2 trick) is the known next
+    step if the m2g share grows."""
+    import os
+
+    from py4cast_tpu.ops.attention import _target_platform
+
+    if hidden_layers != 1 or os.environ.get("P4T_FUSED_HOP", "0") != "1":
+        return False
+    return _target_platform() == "tpu"
