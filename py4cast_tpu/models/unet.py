@@ -16,6 +16,7 @@ from typing import Optional, Tuple
 import flax.linen as nn
 import jax.numpy as jnp
 
+from py4cast_tpu.ops.pool import max_pool_2x2
 from py4cast_tpu.models.base import (
     ModelBase,
     ModelType,
@@ -135,7 +136,7 @@ class UNet(ModelBase):
         for level in range(s.depth):
             x = ConvBlock(f * 2**level)(x)
             skips.append(x)
-            x = nn.max_pool(x, (2, 2), strides=(2, 2))
+            x = max_pool_2x2(x)  # scatter-free VJP (ops/pool.py)
         x = ConvBlock(f * 2**s.depth)(x)
         for level in reversed(range(s.depth)):
             x = nn.ConvTranspose(f * 2**level, (2, 2), strides=(2, 2))(x)
@@ -194,7 +195,7 @@ class HalfUNet(ModelBase):
         summed = None
         for level in range(s.depth):
             if level > 0:
-                x = nn.max_pool(x, (2, 2), strides=(2, 2))
+                x = max_pool_2x2(x)  # scatter-free VJP (ops/pool.py)
             x = block(s.num_filters, dilation=s.dilation, use_bias=s.bias)(x)
             up = _upsample(x, 2**level) if level > 0 else x
             summed = up if summed is None else summed + up
