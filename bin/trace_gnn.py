@@ -102,6 +102,7 @@ def main():
     )
     layers = int(sys.argv[3]) if len(sys.argv) > 3 else 4
     n_steps = int(os.environ.get("TRACE_STEPS", "5"))
+    batch = int(os.environ.get("TRACE_BATCH", "1"))
 
     is_graph = model in ("HiLAM", "GraphLAM", "HiLAMParallel")
     init_args = (
@@ -124,7 +125,7 @@ def main():
     module = AutoRegressiveModule(settings, info, mesh=mesh)
     state = module.init_state(jax.random.key(0), num_training_steps=1000)
     inputs, forcing, outputs = synthetic_device_arrays(
-        module, batch_size=1, num_pred_steps=1
+        module, batch_size=batch, num_pred_steps=1
     )
     buffers = module.step_buffers()
     rng = jax.random.key(1)

@@ -121,28 +121,34 @@ def _nan_union_mask(arrays) -> jnp.ndarray:
 
 def build_x(
     prev_states: jnp.ndarray,
-    statics: jnp.ndarray,
-    forcing_t: jnp.ndarray,
+    statics_forcing_t: jnp.ndarray,
     cfg: RolloutConfig,
 ) -> jnp.ndarray:
     """Assemble the model input for one step (reference: lightning.py:711-767).
 
-    prev_states: (B, n_in, *spatial, F); statics: (*spatial, S);
-    forcing_t: (B, *spatial, Ff). Returns (B, *spatial, F_in).
+    prev_states: (B, n_in, *spatial, F); statics_forcing_t:
+    (B, *spatial, S + Ff) — the grid statics pre-concatenated AHEAD of
+    the step's forcing slice (feature order [statics, forcing] matches
+    the reference's x layout). Returns (B, *spatial, F_in).
+
+    The statics ride inside the forcing tensor because a standalone
+    per-step broadcast of the (…, 4)-feature statics materializes a
+    buffer padded 32x by the TPU's (8, 128) lane tiling (measured: a
+    1.2 GB pure-padding blob at 512x640 batch 16), while appending 4
+    features to a 21-feature forcing costs ZERO extra padded bytes —
+    both tile to the same 128 lanes.
     """
-    b = prev_states.shape[0]
     n_in = prev_states.shape[1]
     inputs = [prev_states[:, i] for i in range(n_in)]
 
     extra = []
     if cfg.mask_on_nan:
-        valid = _nan_union_mask(inputs + [forcing_t])
+        valid = _nan_union_mask(inputs + [statics_forcing_t])
         inputs = [jnp.nan_to_num(i, nan=0.0) for i in inputs]
-        forcing_t = jnp.nan_to_num(forcing_t, nan=0.0)
+        statics_forcing_t = jnp.nan_to_num(statics_forcing_t, nan=0.0)
         extra.append(valid.astype(prev_states.dtype))
 
-    statics_b = jnp.broadcast_to(statics[None], (b,) + statics.shape)
-    parts = ([] if cfg.downscaling else inputs) + [statics_b, forcing_t] + extra
+    parts = ([] if cfg.downscaling else inputs) + [statics_forcing_t] + extra
     return jnp.concatenate(parts, axis=-1)
 
 
@@ -179,8 +185,24 @@ def rollout(
     if rng is None:
         rng = jax.random.key(0)
 
+    # batch args may arrive bf16 (AutoRegressiveModule.batch_arg_dtypes)
+    # but the AR state accumulates in fp32: bf16's ~3 significant digits
+    # would drift a multi-step rollout (parity north star is per-variable
+    # RMSE vs the reference)
+    carry_dtype = jnp.promote_types(inputs.dtype, jnp.float32)
+    inputs = inputs.astype(carry_dtype)
+
+    # statics ride INSIDE the forcing tensor (see build_x docstring):
+    # one pre-scan concat instead of a per-step broadcast whose (…, 4)
+    # lane-padded buffer costs 32x its logical size on TPU
+    n_statics = statics.shape[-1]
+    statics_bt = jnp.broadcast_to(
+        statics[(None, None)], forcing.shape[:2] + statics.shape
+    ).astype(forcing.dtype)
+    forcing = jnp.concatenate([statics_bt, forcing], axis=-1)
+
     # scan xs: timestep-major slices
-    forcing_tm = jnp.moveaxis(forcing, 1, 0)  # (T, B, *sp, Ff)
+    forcing_tm = jnp.moveaxis(forcing, 1, 0)  # (T, B, *sp, S + Ff)
     if inference:
         border_tm = jnp.zeros((num_pred_steps,) + inputs.shape[:1] + inputs.shape[2:],
                               inputs.dtype)
@@ -195,7 +217,7 @@ def rollout(
 
         new_state = None
         for k in range(cfg.num_inter_steps):
-            x = build_x(prev_states, statics, forcing_t, cfg)
+            x = build_x(prev_states, forcing_t, cfg)
             if cfg.mask_ratio != 0.0:
                 x = mask_blocks(x, jax.random.fold_in(step_rng, k), cfg.mask_ratio)
             y = model_apply(x)
@@ -207,13 +229,17 @@ def rollout(
             if cfg.scale_y:
                 predicted = last_prev + y * step_diff_std + step_diff_mean
             elif cfg.downscaling:
-                coarse = forcing_t[..., list(cfg.common_features_idx)]
+                # +n_statics: forcing_t carries [statics, forcing]
+                coarse = forcing_t[
+                    ..., [n_statics + i for i in cfg.common_features_idx]
+                ]
                 if cfg.mask_on_nan:
                     coarse = jnp.nan_to_num(coarse, nan=0.0)
                 predicted = coarse + y
             else:
                 predicted = last_prev + y
 
+            predicted = predicted.astype(prev_states.dtype)
             if force_border:
                 new_state = border_mask * border_state + interior_mask * predicted
             else:

@@ -151,10 +151,15 @@ def synthetic_device_arrays(module, batch_size: int = 1,
     )
     la = module._batch_lat_axis
 
+    dtypes = tuple(
+        jnp.dtype(d) for d in module.batch_arg_dtypes()
+    )
+
     def gen(key):
         ks = jax.random.split(key, len(shapes))
         return tuple(
-            jax.random.normal(k, s, jnp.float32) for k, s in zip(ks, shapes)
+            jax.random.normal(k, s, jnp.float32).astype(d)
+            for k, s, d in zip(ks, shapes, dtypes)
         )
 
     shardings = tuple(

@@ -516,17 +516,41 @@ class AutoRegressiveModule:
         self._jit_cache[key] = fn
         return fn
 
+    def batch_arg_dtypes(self):
+        """Host dtypes for the (inputs, forcing, outputs) step arguments.
+
+        Model food (inputs, forcing) rides bf16 when compute is bf16:
+        the 21-feature batch tensors are the program's biggest arguments
+        and the TPU's (8, 128) lane tiling stores them padded 6.1x, so
+        halving the element size halves real HBM footprint, DMA traffic
+        and host→device transfer. Targets stay fp32 (loss accumulation
+        fidelity) and rollout() upcasts the AR carry back to fp32.
+        Downscaling is the exception: the forcing carries the coarse
+        BASE STATE that predictions add to, so it keeps fp32 too.
+        """
+        import ml_dtypes
+
+        bf16_food = (
+            self.compute_dtype == jnp.bfloat16
+            and self.settings.training_strategy != "downscaling_only"
+        )
+        food = ml_dtypes.bfloat16 if bf16_food else np.float32
+        return food, food, np.float32
+
     def _batch_arrays(self, batch: ItemBatch, with_outputs: bool = True):
+        in_dt, fo_dt, out_dt = self.batch_arg_dtypes()
         inputs = self._flatten_graph(
-            jnp.asarray(np.asarray(batch.inputs.array, np.float32))
+            jnp.asarray(np.asarray(batch.inputs.array, np.float32).astype(in_dt))
             if batch.inputs is not None
             else None
         )
         forcing = self._flatten_graph(
-            jnp.asarray(np.asarray(batch.forcing.array, np.float32))
+            jnp.asarray(np.asarray(batch.forcing.array, np.float32).astype(fo_dt))
         )
         outputs = (
-            self._flatten_graph(jnp.asarray(np.asarray(batch.outputs.array, np.float32)))
+            self._flatten_graph(
+                jnp.asarray(np.asarray(batch.outputs.array, out_dt))
+            )
             if with_outputs
             else None
         )
