@@ -22,7 +22,7 @@ compile service is slow.
 
 Env knobs: BENCH_MODEL (one model instead of all), BENCH_BATCH,
 BENCH_STEPS, BENCH_PRECISION, BENCH_MODE=scan|loop, BENCH_BUDGET_S,
-BENCH_EXTRA1/BENCH_EXTRA2 ("Model:batch" specs), BENCH_GRID ("HxW").
+BENCH_EXTRA1/2/3 ("Model:batch" specs), BENCH_GRID ("HxW").
 """
 
 import json
@@ -301,13 +301,17 @@ def main():
             run_extra(os.environ.get("BENCH_EXTRA1", "HalfUNet:8"),
                       budget_s * 0.6)
     if not only:
-        # GNN batch-scaling datapoint. Batch 8 reliably crashes the
-        # remote compile helper (HTTP 500, remat or not — measured for
-        # HiLAM, GraphLAM and UNetRPP); batch 4 compiles and shows the
-        # honest result: GNN throughput is FLAT in batch (36.7 -> 37.8
-        # samples/s b1 -> b4) because edge-state traffic scales with
-        # batch — unlike convs, there is no weight traffic to amortize.
-        run_extra(os.environ.get("BENCH_EXTRA2", "HiLAM:4"), budget_s)
+        # batch-8 programs used to fail compile with an opaque HTTP 500:
+        # the helper was hitting chip HBM OOM (25.06G needed of 15.75G
+        # at HalfUNet b16, mostly (8,128) lane-tile PADDING on the
+        # 21-feature fp32 batch args). bf16 batch args + statics folded
+        # into the forcing lanes shrank every b8 program under HBM:
+        # UNetRPP 45.8 -> 56.4 samples/s b1 -> b8; HiLAM stays FLAT
+        # (49.9 -> 47.1) because GNN edge-state traffic scales WITH
+        # batch — no weight/optimizer traffic to amortize.
+        run_extra(os.environ.get("BENCH_EXTRA2", "UNetRPP:8"),
+                  budget_s * 0.85)
+        run_extra(os.environ.get("BENCH_EXTRA3", "HiLAM:8"), budget_s)
 
 
 if __name__ == "__main__":
