@@ -826,7 +826,8 @@ class LatticeEncodeDecode(nn.Module):
 
         h = self.hidden_dim
         ps = nn.Dense(h, use_bias=False, name="w_s")(v_src)
-        if self.kind == "corners" and use_fused_hop(self.hidden_layers):
+        hop_mode = use_fused_hop(self.hidden_layers)
+        if self.kind == "corners" and hop_mode:
             # fused Pallas m2g: everything downstream of the corner
             # upsample runs in one VMEM pass (ops/hop_kernel.py); param
             # tree and numerics match the XLA path below
@@ -852,7 +853,7 @@ class LatticeEncodeDecode(nn.Module):
             return fused_corner_hop(
                 ps_g, v_dst, lat["feats"], kf, bf, kd, ko, bo, lns, lnb,
                 nd0[:h], nd0[h:], nb0, nd1, nb1, nlns, nlnb,
-                mean=self.aggr == "mean",
+                mean=self.aggr == "mean", mode=hop_mode,
             )
         w_f = nn.Dense(h, name="w_f")
         pd = nn.Dense(h, use_bias=False, name="w_d")(v_dst)

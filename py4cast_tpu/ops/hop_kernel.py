@@ -164,6 +164,105 @@ def _fwd_kernel(psg0_ref, psg1_ref, psg2_ref, psg3_ref, vd_ref, feats_ref,
     vout_ref[0] = (vd + y_ln).astype(vout_ref.dtype)
 
 
+# ------------------------------------------------- forward, lane-packed
+# Mode 2: the mode-1 kernel ran SLOWER than XLA because h=64 channels
+# fill only half of the 128 VMEM lanes (and half the MXU columns) — the
+# exact failure mode the stencil kernel's mode 2 fixed. This variant
+# processes corner PAIRS (2k, 2k+1) with channels concatenated to 2h
+# lanes: elementwise chains run full-width and the two per-corner
+# (M,h)@(h,h) matmuls become ONE (M,2h)@(2h,2h) block-diagonal matmul.
+# The node MLP's first layer also collapses to a single (M,2h)@(2h,h)
+# matmul on the lane-concatenated [v_dst | agg]. Packing happens in
+# VMEM only; HBM reads/writes keep the mode-1 layouts, so traffic is
+# unchanged. LayerNorm statistics must not mix the two halves: per-half
+# means ride through two tiny selector matmuls (msel/mbc).
+
+
+def _pack_hop_params(wf, bf, wo, bo, lns, lnb):
+    """Block-diagonal / duplicated parameter views for the packed kernel
+    (tiny, built in the traced wrapper)."""
+    ff, h = wf.shape
+    zfh = jnp.zeros((ff, h), wf.dtype)
+    zhh = jnp.zeros((h, h), wo.dtype)
+    wf2 = jnp.concatenate(
+        [jnp.concatenate([wf, zfh], 1), jnp.concatenate([zfh, wf], 1)], 0
+    )
+    wo2 = jnp.concatenate(
+        [jnp.concatenate([wo, zhh], 1), jnp.concatenate([zhh, wo], 1)], 0
+    )
+    dup = lambda v: jnp.concatenate([v, v], 0)  # noqa: E731
+    hi = (jnp.arange(2 * h) >= h).astype(jnp.float32)
+    msel = jnp.stack([1.0 - hi, hi], 1) / h  # (2h, 2) per-half mean
+    mbc = jnp.stack([1.0 - hi, hi], 0)  # (2, 2h) half broadcast
+    return wf2, dup(bf), wo2, dup(bo), dup(lns), dup(lnb), msel, mbc
+
+
+def _fwd_kernel_packed(psg0_ref, psg1_ref, psg2_ref, psg3_ref, vd_ref,
+                       feats_ref,
+                       wf2_ref, bf2_ref, wd_ref, wo2_ref, bo2_ref,
+                       lns2_ref, lnb2_ref, msel_ref, mbc_ref,
+                       nd0_ref, nb0_ref, nd1_ref, nb1_ref,
+                       nlns_ref, nlnb_ref,
+                       vout_ref, *, mean):
+    psg_refs = (psg0_ref, psg1_ref, psg2_ref, psg3_ref)
+    ff = feats_ref.shape[-1]
+    h = wd_ref.shape[-1]
+    vd = vd_ref[0].astype(jnp.float32)  # (bh, bw, h)
+    sh = vd.shape
+    wf2 = wf2_ref[...].astype(jnp.float32)
+    bf2 = bf2_ref[...].astype(jnp.float32)
+    wo2 = wo2_ref[...].astype(jnp.float32)
+    bo2 = bo2_ref[...].astype(jnp.float32)
+    lns2 = lns2_ref[...].astype(jnp.float32)
+    lnb2 = lnb2_ref[...].astype(jnp.float32)
+    msel = msel_ref[...]
+    mbc = mbc_ref[...]
+
+    def half_mean(x):  # (bh, bw, 2h) -> per-half mean broadcast full-width
+        flat = x.reshape(-1, 2 * h)
+        return _mm(_mm(flat, msel), mbc).reshape(x.shape)
+
+    pd = _mm(vd.reshape(-1, h), wd_ref[...].astype(jnp.float32)).reshape(sh)
+    pd2 = jnp.concatenate([pd, pd], -1)
+    agg = jnp.zeros(sh, jnp.float32)
+    for kp in range(2):
+        fe2 = jnp.concatenate(
+            [feats_ref[2 * kp], feats_ref[2 * kp + 1]], -1
+        ).astype(jnp.float32)
+        psg2 = jnp.concatenate(
+            [psg_refs[2 * kp][0], psg_refs[2 * kp + 1][0]], -1
+        ).astype(jnp.float32)
+        pre = (
+            _mm(fe2.reshape(-1, 2 * ff), wf2).reshape(sh[:-1] + (2 * h,))
+            + bf2 + psg2 + pd2
+        )
+        z = pre * jax.nn.sigmoid(pre)
+        t = _mm(z.reshape(-1, 2 * h), wo2).reshape(z.shape) + bo2
+        mu = half_mean(t)
+        d = t - mu
+        var = half_mean(d * d)
+        t_ln = d * jax.lax.rsqrt(var + LN_EPS) * lns2 + lnb2
+        agg = agg + t_ln[..., :h] + t_ln[..., h:]
+    if mean:
+        agg = agg * 0.25
+
+    ca2 = jnp.concatenate([vd, agg], -1)  # (bh, bw, 2h)
+    u_pre = (
+        _mm(ca2.reshape(-1, 2 * h), nd0_ref[...].astype(jnp.float32))
+        + nb0_ref[...].astype(jnp.float32)
+    )
+    u = u_pre * jax.nn.sigmoid(u_pre)
+    y = _mm(u, nd1_ref[...].astype(jnp.float32)) + nb1_ref[...].astype(
+        jnp.float32
+    )
+    y_ln, _, _ = _ln_fwd(
+        y.reshape(sh),
+        nlns_ref[...].astype(jnp.float32),
+        nlnb_ref[...].astype(jnp.float32),
+    )
+    vout_ref[0] = (vd + y_ln).astype(vout_ref.dtype)
+
+
 # ----------------------------------------------------------------- backward
 def _bwd_kernel(psg0_ref, psg1_ref, psg2_ref, psg3_ref, vd_ref, feats_ref,
                 wf_ref, wd_ref, wo_ref, bo_ref, lns_ref, lnb_ref, bf_ref,
@@ -280,6 +379,153 @@ def _bwd_kernel(psg0_ref, psg1_ref, psg2_ref, psg3_ref, vd_ref, feats_ref,
     dvd_ref[0] = dvd.astype(dvd_ref.dtype)
 
 
+# ---------------------------------------------- backward, lane-packed
+def _bwd_kernel_packed(psg0_ref, psg1_ref, psg2_ref, psg3_ref, vd_ref,
+                       feats_ref,
+                       wf2_ref, wd_ref, wo2_ref, bo2_ref,
+                       lns2_ref, lnb2_ref, bf2_ref, msel_ref, mbc_ref,
+                       nd0_ref, nb0_ref, nd1_ref, nb1_ref,
+                       nlns_ref, nlnb_ref,
+                       g_ref,
+                       dpsg0_ref, dpsg1_ref, dpsg2_ref, dpsg3_ref, dvd_ref,
+                       dwf2_ref, dbf2_ref, dwd_ref, dwo2_ref, dbo2_ref,
+                       dlns2_ref, dlnb2_ref,
+                       dnd0_ref, dnb0_ref, dnd1_ref, dnb1_ref,
+                       dnlns_ref, dnlnb_ref, *, mean):
+    """Packed recompute backward. Weight/LN grads accumulate as RAW
+    (2F,2h)/(2h,2h)/(2h,) packed buffers in fp32 across the sequential
+    grid; the wrapper folds diagonal blocks / halves (the off-diagonal
+    cross blocks of dWf2/dWo2 are computed and discarded — free MXU
+    lanes, no extra passes)."""
+    psg_refs = (psg0_ref, psg1_ref, psg2_ref, psg3_ref)
+    dpsg_refs = (dpsg0_ref, dpsg1_ref, dpsg2_ref, dpsg3_ref)
+    ff = feats_ref.shape[-1]
+    h = wd_ref.shape[-1]
+    first = (
+        (pl.program_id(0) == 0)
+        & (pl.program_id(1) == 0)
+        & (pl.program_id(2) == 0)
+    )
+
+    @pl.when(first)
+    def _init():
+        for r in (dwf2_ref, dbf2_ref, dwd_ref, dwo2_ref, dbo2_ref,
+                  dlns2_ref, dlnb2_ref, dnd0_ref, dnb0_ref, dnd1_ref,
+                  dnb1_ref, dnlns_ref, dnlnb_ref):
+            r[...] = jnp.zeros_like(r)
+
+    vd = vd_ref[0].astype(jnp.float32)
+    sh = vd.shape
+    g = g_ref[0].astype(jnp.float32)
+    wf2 = wf2_ref[...].astype(jnp.float32)
+    bf2 = bf2_ref[...].astype(jnp.float32)
+    wd = wd_ref[...].astype(jnp.float32)
+    wo2 = wo2_ref[...].astype(jnp.float32)
+    bo2 = bo2_ref[...].astype(jnp.float32)
+    lns2 = lns2_ref[...].astype(jnp.float32)
+    lnb2 = lnb2_ref[...].astype(jnp.float32)
+    msel = msel_ref[...]
+    mbc = mbc_ref[...]
+    nd0 = nd0_ref[...].astype(jnp.float32)
+    nb0 = nb0_ref[...].astype(jnp.float32)
+    nd1 = nd1_ref[...].astype(jnp.float32)
+    nb1 = nb1_ref[...].astype(jnp.float32)
+    nlns = nlns_ref[...].astype(jnp.float32)
+    nlnb = nlnb_ref[...].astype(jnp.float32)
+
+    def half_mean(x):
+        flat = x.reshape(-1, 2 * h)
+        return _mm(_mm(flat, msel), mbc).reshape(x.shape)
+
+    # ---- single recompute pass, caching per-pair LN internals
+    pd = _mm(vd.reshape(-1, h), wd).reshape(sh)
+    pd2 = jnp.concatenate([pd, pd], -1)
+    agg = jnp.zeros(sh, jnp.float32)
+    pre_c, sig_c, xhat_c, inv_c = [], [], [], []
+    for kp in range(2):
+        fe2 = jnp.concatenate(
+            [feats_ref[2 * kp], feats_ref[2 * kp + 1]], -1
+        ).astype(jnp.float32)
+        psg2 = jnp.concatenate(
+            [psg_refs[2 * kp][0], psg_refs[2 * kp + 1][0]], -1
+        ).astype(jnp.float32)
+        pre = (
+            _mm(fe2.reshape(-1, 2 * ff), wf2).reshape(sh[:-1] + (2 * h,))
+            + bf2 + psg2 + pd2
+        )
+        sig = jax.nn.sigmoid(pre)
+        z = pre * sig
+        t = _mm(z.reshape(-1, 2 * h), wo2).reshape(z.shape) + bo2
+        mu = half_mean(t)
+        d = t - mu
+        var = half_mean(d * d)
+        inv = jax.lax.rsqrt(var + LN_EPS)
+        xhat = d * inv
+        t_ln = xhat * lns2 + lnb2
+        agg = agg + t_ln[..., :h] + t_ln[..., h:]
+        pre_c.append(pre)
+        sig_c.append(sig)
+        xhat_c.append(xhat)
+        inv_c.append(inv)
+    if mean:
+        agg = agg * 0.25
+    ca2 = jnp.concatenate([vd, agg], -1)
+    u_pre = _mm(ca2.reshape(-1, 2 * h), nd0) + nb0
+    sig_u = jax.nn.sigmoid(u_pre)
+    u = u_pre * sig_u
+    y = _mm(u, nd1) + nb1
+    _, xhat_n, inv_n = _ln_fwd(y.reshape(sh), nlns, nlnb)
+
+    # ---- node backward
+    dy, dnlns, dnlnb = _ln_bwd(g, xhat_n, inv_n, nlns)
+    dnlns_ref[...] += dnlns
+    dnlnb_ref[...] += dnlnb
+    dy2 = dy.reshape(-1, h)
+    dnd1_ref[...] += _mm(u.T, dy2)
+    dnb1_ref[...] += jnp.sum(dy2, axis=0)
+    du = _mm(dy2, nd1.T)
+    dupre = du * (sig_u * (1.0 + u_pre * (1.0 - sig_u)))
+    dnd0_ref[...] += _mm(ca2.reshape(-1, 2 * h).T, dupre)
+    dnb0_ref[...] += jnp.sum(dupre, axis=0)
+    dca2 = _mm(dupre, nd0.T).reshape(sh[:-1] + (2 * h,))
+    dvd = g + dca2[..., :h]  # residual + node path
+    dagg = dca2[..., h:]
+    if mean:
+        dagg = dagg * 0.25
+    dagg2 = jnp.concatenate([dagg, dagg], -1)
+
+    # ---- per-pair backward from the cached internals
+    dpd2 = jnp.zeros(sh[:-1] + (2 * h,), jnp.float32)
+    for kp in range(2):
+        pre, sig, xhat, inv = pre_c[kp], sig_c[kp], xhat_c[kp], inv_c[kp]
+        # LayerNorm backward with per-half statistics
+        dlns2_ref[...] += jnp.sum(
+            (dagg2 * xhat).reshape(-1, 2 * h), axis=0
+        )
+        dlnb2_ref[...] += jnp.sum(dagg2.reshape(-1, 2 * h), axis=0)
+        gx = dagg2 * lns2
+        dt = (gx - half_mean(gx) - xhat * half_mean(gx * xhat)) * inv
+        dt2 = dt.reshape(-1, 2 * h)
+        dwo2_ref[...] += _mm((pre * sig).reshape(-1, 2 * h).T, dt2)
+        dbo2_ref[...] += jnp.sum(dt2, axis=0)
+        dz = _mm(dt2, wo2.T).reshape(dt.shape)
+        dpre = dz * (sig * (1.0 + pre * (1.0 - sig)))
+        dpsg_refs[2 * kp][0] = dpre[..., :h].astype(dpsg_refs[0].dtype)
+        dpsg_refs[2 * kp + 1][0] = dpre[..., h:].astype(dpsg_refs[0].dtype)
+        dpd2 = dpd2 + dpre
+        dpre2 = dpre.reshape(-1, 2 * h)
+        fe2 = jnp.concatenate(
+            [feats_ref[2 * kp], feats_ref[2 * kp + 1]], -1
+        ).astype(jnp.float32)
+        dwf2_ref[...] += _mm(fe2.reshape(-1, 2 * ff).T, dpre2)
+        dbf2_ref[...] += jnp.sum(dpre2, axis=0)
+
+    dpd = dpd2[..., :h] + dpd2[..., h:]
+    dvd = dvd + _mm(dpd.reshape(-1, h), wd.T).reshape(sh)
+    dwd_ref[...] += _mm(vd.reshape(-1, h).T, dpd.reshape(-1, h))
+    dvd_ref[0] = dvd.astype(dvd_ref.dtype)
+
+
 # ------------------------------------------------------------------- driver
 def _specs(bh, bw, h, ff):
     full = lambda *s: pl.BlockSpec(  # noqa: E731
@@ -291,7 +537,8 @@ def _specs(bh, bw, h, ff):
 
 
 def _fwd_call(psg, vd, feats, wf, bf, wd, wo, bo, lns, lnb,
-              nd0a, nd0b, nb0, nd1, nb1, nlns, nlnb, mean, interpret):
+              nd0a, nd0b, nb0, nd1, nb1, nlns, nlnb, mean, interpret,
+              mode=1):
     b, hr, w, h = vd.shape
     ff = feats.shape[-1]
     bh = _pick_bh(hr)
@@ -299,6 +546,28 @@ def _fwd_call(psg, vd, feats, wf, bf, wd, wo, bo, lns, lnb,
     psg = tuple(_pad_w(p, wp) for p in psg)  # no-op when built pre-padded
     vd_p, feats_p = _pad_w(vd, wp), _pad_w(feats, wp)
     full, band, featb = _specs(bh, bw, h, ff)
+    if mode == 2:
+        wf2, bf2, wo2, bo2, lns2, lnb2, msel, mbc = _pack_hop_params(
+            wf, bf, wo, bo, lns, lnb
+        )
+        nd0 = jnp.concatenate([nd0a, nd0b], 0)  # (2h, h)
+        out = pl.pallas_call(
+            functools.partial(_fwd_kernel_packed, mean=mean),
+            grid=(b, hr // bh, wp // bw),
+            in_specs=[
+                band, band, band, band, band, featb,
+                full(2 * ff, 2 * h), full(2 * h), full(h, h),
+                full(2 * h, 2 * h), full(2 * h), full(2 * h), full(2 * h),
+                full(2 * h, 2), full(2, 2 * h),
+                full(2 * h, h), full(h), full(h, h), full(h),
+                full(h), full(h),
+            ],
+            out_specs=band,
+            out_shape=jax.ShapeDtypeStruct((b, hr, wp, h), vd.dtype),
+            interpret=interpret,
+        )(*psg, vd_p, feats_p, wf2, bf2, wd, wo2, bo2, lns2, lnb2,
+          msel, mbc, nd0, nb0, nd1, nb1, nlns, nlnb)
+        return out[:, :, :w]
     out = pl.pallas_call(
         functools.partial(_fwd_kernel, mean=mean),
         grid=(b, hr // bh, wp // bw),
@@ -318,7 +587,8 @@ def _fwd_call(psg, vd, feats, wf, bf, wd, wo, bo, lns, lnb,
 
 
 def _bwd_call(psg, vd, feats, wf, bf, wd, wo, bo, lns, lnb,
-              nd0a, nd0b, nb0, nd1, nb1, nlns, nlnb, g, mean, interpret):
+              nd0a, nd0b, nb0, nd1, nb1, nlns, nlnb, g, mean, interpret,
+              mode=1):
     b, hr, w, h = vd.shape
     ff = feats.shape[-1]
     bh = _pick_bh(hr)
@@ -335,6 +605,67 @@ def _bwd_call(psg, vd, feats, wf, bf, wd, wo, bo, lns, lnb,
         bw //= 2
     full, band, featb = _specs(bh, bw, h, ff)
     f32 = jnp.float32
+    if mode == 2:
+        wf2, bf2, wo2, bo2, lns2, lnb2, msel, mbc = _pack_hop_params(
+            wf, bf, wo, bo, lns, lnb
+        )
+        nd0 = jnp.concatenate([nd0a, nd0b], 0)
+        pshape = jax.ShapeDtypeStruct((b, hr, wp, h), psg[0].dtype)
+        out_shapes = (
+            pshape, pshape, pshape, pshape,                  # dpsg_k
+            jax.ShapeDtypeStruct((b, hr, wp, h), vd.dtype),  # dvd
+            jax.ShapeDtypeStruct((2 * ff, 2 * h), f32),      # dwf2
+            jax.ShapeDtypeStruct((2 * h,), f32),             # dbf2
+            jax.ShapeDtypeStruct((h, h), f32),               # dwd
+            jax.ShapeDtypeStruct((2 * h, 2 * h), f32),       # dwo2
+            jax.ShapeDtypeStruct((2 * h,), f32),             # dbo2
+            jax.ShapeDtypeStruct((2 * h,), f32),             # dlns2
+            jax.ShapeDtypeStruct((2 * h,), f32),             # dlnb2
+            jax.ShapeDtypeStruct((2 * h, h), f32),           # dnd0
+            jax.ShapeDtypeStruct((h,), f32),                 # dnb0
+            jax.ShapeDtypeStruct((h, h), f32),               # dnd1
+            jax.ShapeDtypeStruct((h,), f32),                 # dnb1
+            jax.ShapeDtypeStruct((h,), f32),                 # dnlns
+            jax.ShapeDtypeStruct((h,), f32),                 # dnlnb
+        )
+        outs = pl.pallas_call(
+            functools.partial(_bwd_kernel_packed, mean=mean),
+            grid=(b, hr // bh, wp // bw),
+            in_specs=[
+                band, band, band, band, band, featb,
+                full(2 * ff, 2 * h), full(h, h), full(2 * h, 2 * h),
+                full(2 * h), full(2 * h), full(2 * h), full(2 * h),
+                full(2 * h, 2), full(2, 2 * h),
+                full(2 * h, h), full(h), full(h, h), full(h),
+                full(h), full(h),
+                band,                                        # g
+            ],
+            out_specs=[
+                band, band, band, band, band,
+                full(2 * ff, 2 * h), full(2 * h), full(h, h),
+                full(2 * h, 2 * h), full(2 * h), full(2 * h), full(2 * h),
+                full(2 * h, h), full(h), full(h, h), full(h),
+                full(h), full(h),
+            ],
+            out_shape=out_shapes,
+            interpret=interpret,
+        )(*psg, vd_p, feats_p, wf2, wd, wo2, bo2, lns2, lnb2, bf2,
+          msel, mbc, nd0, nb0, nd1, nb1, nlns, nlnb, g_p)
+        (dp0, dp1, dp2, dp3, dvd, dwf2, dbf2, dwd, dwo2, dbo2, dlns2,
+         dlnb2, dnd0, dnb0, dnd1, dnb1, dnlns, dnlnb) = outs
+        # fold the packed accumulators: diagonal blocks / halves
+        return (
+            dp0[:, :, :pw], dp1[:, :, :pw], dp2[:, :, :pw], dp3[:, :, :pw],
+            dvd[:, :, :w],
+            dwf2[:ff, :h] + dwf2[ff:, h:],
+            dbf2[:h] + dbf2[h:],
+            dwd,
+            dwo2[:h, :h] + dwo2[h:, h:],
+            dbo2[:h] + dbo2[h:],
+            dlns2[:h] + dlns2[h:],
+            dlnb2[:h] + dlnb2[h:],
+            dnd0[:h], dnd0[h:], dnb0, dnd1, dnb1, dnlns, dnlnb,
+        )
     pshape = jax.ShapeDtypeStruct((b, hr, wp, h), psg[0].dtype)
     out_shapes = (
         pshape, pshape, pshape, pshape,                # dpsg_k
@@ -382,32 +713,34 @@ def _bwd_call(psg, vd, feats, wf, bf, wd, wo, bo, lns, lnb,
     return dpsg + (outs[4][:, :, :w],) + outs[5:]
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1))
-def _fused(mean, interpret, psg0, psg1, psg2, psg3, vd, feats,
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2))
+def _fused(mean, interpret, mode, psg0, psg1, psg2, psg3, vd, feats,
            wf, bf, wd, wo, bo, lns, lnb,
            nd0a, nd0b, nb0, nd1, nb1, nlns, nlnb):
     return _fwd_call((psg0, psg1, psg2, psg3), vd, feats,
                      wf, bf, wd, wo, bo, lns, lnb,
-                     nd0a, nd0b, nb0, nd1, nb1, nlns, nlnb, mean, interpret)
+                     nd0a, nd0b, nb0, nd1, nb1, nlns, nlnb, mean, interpret,
+                     mode)
 
 
-def _vjp_fwd(mean, interpret, psg0, psg1, psg2, psg3, vd, feats,
+def _vjp_fwd(mean, interpret, mode, psg0, psg1, psg2, psg3, vd, feats,
              wf, bf, wd, wo, bo, lns, lnb,
              nd0a, nd0b, nb0, nd1, nb1, nlns, nlnb):
     out = _fwd_call((psg0, psg1, psg2, psg3), vd, feats,
                     wf, bf, wd, wo, bo, lns, lnb,
-                    nd0a, nd0b, nb0, nd1, nb1, nlns, nlnb, mean, interpret)
+                    nd0a, nd0b, nb0, nd1, nb1, nlns, nlnb, mean, interpret,
+                    mode)
     return out, (psg0, psg1, psg2, psg3, vd, feats, wf, bf, wd, wo, bo,
                  lns, lnb, nd0a, nd0b, nb0, nd1, nb1, nlns, nlnb)
 
 
-def _vjp_bwd(mean, interpret, res, g):
+def _vjp_bwd(mean, interpret, mode, res, g):
     (psg0, psg1, psg2, psg3, vd, feats, wf, bf, wd, wo, bo, lns, lnb,
      nd0a, nd0b, nb0, nd1, nb1, nlns, nlnb) = res
     (dpsg0, dpsg1, dpsg2, dpsg3, dvd, dwf, dbf, dwd, dwo, dbo, dlns, dlnb,
      dnd0a, dnd0b, dnb0, dnd1, dnb1, dnlns, dnlnb) = _bwd_call(
         (psg0, psg1, psg2, psg3), vd, feats, wf, bf, wd, wo, bo, lns, lnb,
-        nd0a, nd0b, nb0, nd1, nb1, nlns, nlnb, g, mean, interpret
+        nd0a, nd0b, nb0, nd1, nb1, nlns, nlnb, g, mean, interpret, mode
     )
     dfeats = jnp.zeros_like(feats)  # static graph data; DCE'd by jit
     cast = lambda dx, x: dx.astype(x.dtype)  # noqa: E731
@@ -424,7 +757,8 @@ _fused.defvjp(_vjp_fwd, _vjp_bwd)
 
 def fused_corner_hop(psg, vd, feats, wf, bf, wd, wo, bo, lns, lnb,
                      nd0a, nd0b, nb0, nd1, nb1, nlns, nlnb,
-                     mean: bool = False, interpret: bool = False):
+                     mean: bool = False, interpret: bool = False,
+                     mode: int = 1):
     """v_out for the m2g corner hop with everything downstream of the
     corner upsample fused into one VMEM pass (see module docstring).
 
@@ -433,28 +767,34 @@ def fused_corner_hop(psg, vd, feats, wf, bf, wd, wo, bo, lns, lnb,
     selection matrix) so no grid-sized pad ops appear; vd: (B, H, W, h)
     destination grid states; feats: (4, H, W, F) static corner
     features. nd0a/nd0b are the node MLP's first Dense kernel split at
-    the concat boundary ([v_dst, agg] → rows [:h] and [h:])."""
+    the concat boundary ([v_dst, agg] → rows [:h] and [h:]).
+    mode 1 = per-corner tiles; mode 2 = lane-packed corner pairs
+    (same HBM layout, 2h-wide VMEM compute)."""
     p0, p1, p2, p3 = psg
-    return _fused(bool(mean), bool(interpret), p0, p1, p2, p3, vd, feats,
+    return _fused(bool(mean), bool(interpret), int(mode),
+                  p0, p1, p2, p3, vd, feats,
                   wf, bf, wd, wo, bo, lns, lnb,
                   nd0a, nd0b, nb0, nd1, nb1, nlns, nlnb)
 
 
-def use_fused_hop(hidden_layers: int) -> bool:
-    """Opt-in via P4T_FUSED_HOP=1 (TPU, default edge-MLP depth only).
+def use_fused_hop(hidden_layers: int) -> int:
+    """Returns the kernel mode to use for the m2g hop, 0 = XLA path.
+    Opt-in via P4T_FUSED_HOP=1 (TPU, default edge-MLP depth only);
+    P4T_FUSED_HOP_MODE picks the kernel variant (default 2).
 
     Measured on v5e (HiLAM 500x500 b1, after the scan-over-remat and
-    sep_take_mm fixes): XLA path 50.3 samples/s, this kernel 44.1 —
-    the kernel's HLO-level traffic is lower (14.7 → 12.1 GB/step) but
-    its h=64 channels fill only half of the 128 VMEM lanes and the
-    custom-call serializes against the DMA overlap XLA schedules, so it
-    does not (yet) beat XLA here. Kept as scaffolding: lane-packing
-    corner pairs to 2h=128 (the stencil mode-2 trick) is the known next
-    step if the m2g share grows."""
+    sep_take_mm fixes): XLA path 50.3 samples/s, mode-1 kernel 44.1 —
+    mode 1's HLO-level traffic is lower (14.7 → 12.1 GB/step) but its
+    h=64 channels fill only half of the 128 VMEM lanes and the
+    custom-call serializes against the DMA overlap XLA schedules. Mode 2
+    lane-packs corner pairs to 2h=128 (the stencil mode-2 trick) so the
+    elementwise chains and MXU passes run full-width."""
     import os
 
     from py4cast_tpu.ops.attention import _target_platform
 
     if hidden_layers != 1 or os.environ.get("P4T_FUSED_HOP", "0") != "1":
-        return False
-    return _target_platform() == "tpu"
+        return 0
+    if _target_platform() != "tpu":
+        return 0
+    return int(os.environ.get("P4T_FUSED_HOP_MODE", "2"))

@@ -63,20 +63,24 @@ def reference(psg, vd, feats, wf, bf, wd, wo, bo, lns, lnb,
     return vd + y
 
 
+@pytest.mark.parametrize("mode", [1, 2])
 @pytest.mark.parametrize("mean", [False, True])
-def test_forward_matches_reference(inputs, mean):
-    got = fused_corner_hop(*inputs, mean=mean, interpret=True)
+def test_forward_matches_reference(inputs, mean, mode):
+    got = fused_corner_hop(*inputs, mean=mean, interpret=True, mode=mode)
     want = reference(*inputs, mean=mean)
     np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
 
 
+@pytest.mark.parametrize("mode", [1, 2])
 @pytest.mark.parametrize("mean", [False, True])
-def test_gradients_match_reference(inputs, mean):
+def test_gradients_match_reference(inputs, mean, mode):
     rng = np.random.default_rng(1)
     g = jnp.asarray(rng.standard_normal((B, H, W, HID)).astype(np.float32))
 
     def loss_fused(*args):
-        return jnp.sum(fused_corner_hop(*args, mean=mean, interpret=True) * g)
+        return jnp.sum(
+            fused_corner_hop(*args, mean=mean, interpret=True, mode=mode) * g
+        )
 
     def loss_ref(*args):
         return jnp.sum(reference(*args, mean=mean) * g)
@@ -93,7 +97,8 @@ def test_gradients_match_reference(inputs, mean):
         )
 
 
-def test_wide_grid_pad_path_is_exact():
+@pytest.mark.parametrize("mode", [1, 2])
+def test_wide_grid_pad_path_is_exact(mode):
     """W > 256 triggers the zero-pad + column-tile path — forward and
     gradients must stay exact (pad contributions vanish)."""
     rng = np.random.default_rng(3)
@@ -111,7 +116,7 @@ def test_wide_grid_pad_path_is_exact():
         arr(hid) * 0.1, arr(hid, hid) * 0.3, arr(hid) * 0.1,
         arr(hid) * 0.2 + 1.0, arr(hid) * 0.1,
     )
-    got = fused_corner_hop(*args, mean=True, interpret=True)
+    got = fused_corner_hop(*args, mean=True, interpret=True, mode=mode)
     want = reference(*args, mean=True)
     np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
 
@@ -119,7 +124,7 @@ def test_wide_grid_pad_path_is_exact():
     argnums = (0, 1, 3, 10)
     got_g = jax.grad(
         lambda *a: jnp.sum(
-            fused_corner_hop(*a, mean=True, interpret=True) * g
+            fused_corner_hop(*a, mean=True, interpret=True, mode=mode) * g
         ),
         argnums=argnums,
     )(*args)
@@ -130,7 +135,8 @@ def test_wide_grid_pad_path_is_exact():
         np.testing.assert_allclose(gf, gr, rtol=2e-4, atol=2e-4)
 
 
-def test_model_param_tree_and_forward_parity():
+@pytest.mark.parametrize("mode", [1, 2])
+def test_model_param_tree_and_forward_parity(mode):
     """The fused path must register the SAME param tree as the XLA path,
     and (in interpret mode via monkeypatched gate) produce the same
     output."""
@@ -164,7 +170,7 @@ def test_model_param_tree_and_forward_parity():
         params_xla = mod.init(jax.random.key(0), v_src, v_dst, lat)
         out_xla = mod.apply(params_xla, v_src, v_dst, lat)
 
-        hk.use_fused_hop = lambda hl: True
+        hk.use_fused_hop = lambda hl: mode
         orig_fused = hk._fused
 
         def interp_fused(mean, interpret, *args):
