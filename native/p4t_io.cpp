@@ -76,8 +76,11 @@ ThreadPool& pool() {
 
 // -------------------------------------------------------- npy parsing
 // Reads a .npy v1/v2 file of little-endian float32 ('<f4') C-order data
-// into `out` (expected_elems floats). Returns 0 on success.
-int read_npy_f32(const char* path, float* out, int64_t expected_elems) {
+// into `out` (expected_elems floats). When `dims`/`ndim` are given the
+// declared shape must match PER-DIM (a (4,3) file must not fill a (3,4)
+// slot even though the element counts agree). Returns 0 on success.
+int read_npy_f32(const char* path, float* out, int64_t expected_elems,
+                 const int64_t* dims = nullptr, int ndim = 0) {
   FILE* f = std::fopen(path, "rb");
   if (!f) return 1;
 
@@ -117,7 +120,8 @@ int read_npy_f32(const char* path, float* out, int64_t expected_elems) {
     return 5;
   }
   int64_t elems = 1;
-  bool any_dim = false;
+  int n_dims = 0;
+  bool dim_mismatch = false;
   for (size_t i = shape_pos + 10; i < header.size() && header[i] != ')';) {
     if (header[i] >= '0' && header[i] <= '9') {
       int64_t d = 0;
@@ -126,14 +130,19 @@ int read_npy_f32(const char* path, float* out, int64_t expected_elems) {
         ++i;
       }
       elems *= d;
-      any_dim = true;
+      if (dims && (n_dims >= ndim || dims[n_dims] != d)) dim_mismatch = true;
+      ++n_dims;
     } else {
       ++i;
     }
   }
-  if (any_dim && elems != expected_elems) {
+  if (n_dims > 0 && elems != expected_elems) {
     std::fclose(f);
     return 7;  // shape mismatch vs the probed batch item shape
+  }
+  if (dims && n_dims > 0 && (dim_mismatch || n_dims != ndim)) {
+    std::fclose(f);
+    return 7;  // same element count but transposed/reshaped dims
   }
   const size_t want = size_t(expected_elems) * sizeof(float);
   const size_t got = std::fread(out, 1, want, f);
@@ -146,9 +155,11 @@ int read_npy_f32(const char* path, float* out, int64_t expected_elems) {
 extern "C" {
 
 // Read n npy files in parallel; file i fills out[i * per_item_elems ...].
+// Each file's declared shape must equal dims[0..ndim) exactly.
 // Returns 0 on success, or (1 + index of the first failing file).
-int p4t_read_npy_batch(const char** paths, int n, float* out,
-                       int64_t per_item_elems) {
+int p4t_read_npy_batch_shaped(const char** paths, int n, float* out,
+                              int64_t per_item_elems, const int64_t* dims,
+                              int ndim) {
   std::atomic<int> first_error{0};
   std::atomic<int> remaining{n};
   std::mutex done_mu;
@@ -157,7 +168,7 @@ int p4t_read_npy_batch(const char** paths, int n, float* out,
   for (int i = 0; i < n; ++i) {
     pool().submit([&, i] {
       int rc = read_npy_f32(paths[i], out + int64_t(i) * per_item_elems,
-                            per_item_elems);
+                            per_item_elems, dims, ndim);
       if (rc != 0) {
         int expected = 0;
         first_error.compare_exchange_strong(expected, i + 1);
@@ -173,7 +184,13 @@ int p4t_read_npy_batch(const char** paths, int n, float* out,
   return first_error.load();
 }
 
+// Element-count-only variant kept for ABI continuity.
+int p4t_read_npy_batch(const char** paths, int n, float* out,
+                       int64_t per_item_elems) {
+  return p4t_read_npy_batch_shaped(paths, n, out, per_item_elems, nullptr, 0);
+}
+
 // Version / health probe for the ctypes binding.
-int p4t_version() { return 2; }
+int p4t_version() { return 3; }
 
 }  // extern "C"

@@ -27,6 +27,11 @@ from py4cast_tpu.settings import CACHE_DIR
 
 PARAM_NAME = "dummy_parameter_500_isobaricInhPa"
 
+#: serializes first-touch data creation across the threaded loader's
+#: workers (np.save is not atomic: a reader seeing the file mid-write
+#: gets a truncated array)
+_CREATE_LOCK = __import__("threading").Lock()
+
 
 class DummyAccessor(DataAccessor):
     def cache_dir(self, name: str, grid: Grid) -> Path:
@@ -36,17 +41,18 @@ class DummyAccessor(DataAccessor):
         # multi-variable runs, e.g. the parity artifact, use more)
         levels = (500, 700, 850, 1000)
         names = [f"dummy_parameter_{lv}_isobaricInhPa" for lv in levels]
-        if not (path / "parameters_stats.json").exists():
-            Stats(
-                stats={
-                    n: {"mean": 0.0, "std": 1.0, "max": 3.0, "min": -3.0}
-                    for n in names
-                }
-            ).save(path / "parameters_stats.json")
-        if not (path / "diff_stats.json").exists():
-            Stats(
-                stats={n: {"mean": 0.0, "std": 1.42} for n in names}
-            ).save(path / "diff_stats.json")
+        with _CREATE_LOCK:
+            if not (path / "parameters_stats.json").exists():
+                Stats(
+                    stats={
+                        n: {"mean": 0.0, "std": 1.0, "max": 3.0, "min": -3.0}
+                        for n in names
+                    }
+                ).save(path / "parameters_stats.json")
+            if not (path / "diff_stats.json").exists():
+                Stats(
+                    stats={n: {"mean": 0.0, "std": 1.42} for n in names}
+                ).save(path / "diff_stats.json")
         return path
 
     @classmethod
@@ -109,11 +115,17 @@ class DummyAccessor(DataAccessor):
     ) -> Path:
         fpath = cls.get_dataset_path(dataset_name, param.grid) / "dummy_data.npy"
         if not fpath.exists():
-            rng = np.random.default_rng(0)
-            arr = rng.standard_normal(
-                (len(timestamps.timedeltas), 64, 64, 1)
-            ).clip(-3, 3)
-            np.save(fpath, arr.astype(np.float32))
+            with _CREATE_LOCK:
+                if not fpath.exists():
+                    rng = np.random.default_rng(0)
+                    arr = rng.standard_normal(
+                        (len(timestamps.timedeltas), 64, 64, 1)
+                    ).clip(-3, 3)
+                    # write-then-rename: concurrent PROCESSES (pytest -n,
+                    # multi-host) must never observe a half-written file
+                    tmp = fpath.with_suffix(f".tmp{os.getpid()}.npy")
+                    np.save(tmp, arr.astype(np.float32))
+                    os.replace(tmp, fpath)
         return fpath
 
     @classmethod

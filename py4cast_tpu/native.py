@@ -20,7 +20,7 @@ import numpy as np
 
 _NATIVE_DIR = Path(__file__).resolve().parent.parent / "native"
 _LIB_PATH = _NATIVE_DIR / "libp4tio.so"
-_ABI_VERSION = 2  # must match p4t_version() in native/p4t_io.cpp
+_ABI_VERSION = 3  # must match p4t_version() in native/p4t_io.cpp
 _lock = threading.Lock()
 _lib = None
 _tried = False
@@ -41,12 +41,14 @@ def _build(force: bool = False) -> bool:
 
 def _bind(path: Path) -> ctypes.CDLL:
     lib = ctypes.CDLL(str(path))
-    lib.p4t_read_npy_batch.restype = ctypes.c_int
-    lib.p4t_read_npy_batch.argtypes = [
+    lib.p4t_read_npy_batch_shaped.restype = ctypes.c_int
+    lib.p4t_read_npy_batch_shaped.argtypes = [
         ctypes.POINTER(ctypes.c_char_p),
         ctypes.c_int,
         ctypes.POINTER(ctypes.c_float),
         ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_int64),
+        ctypes.c_int,
     ]
     return lib
 
@@ -84,6 +86,9 @@ def read_npy_float32_batch(
 ) -> np.ndarray:
     """Read len(paths) float32 C-order npy files of identical shape into
     one (N, *item_shape) array — in parallel via the C++ core when built.
+    Every file's declared shape is validated PER-DIM against item_shape
+    (ADVICE r2: a later file with a different — even transposed — shape
+    must never silently fill the batch buffer).
     """
     n = len(paths)
     per_item = int(np.prod(item_shape))
@@ -93,11 +98,15 @@ def read_npy_float32_batch(
         c_paths = (ctypes.c_char_p * n)(
             *[str(p).encode() for p in paths]
         )
-        rc = lib.p4t_read_npy_batch(
+        ndim = len(item_shape)
+        c_dims = (ctypes.c_int64 * ndim)(*item_shape)
+        rc = lib.p4t_read_npy_batch_shaped(
             c_paths,
             n,
             out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
             per_item,
+            c_dims,
+            ndim,
         )
         if rc == 0:
             return out

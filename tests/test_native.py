@@ -67,3 +67,16 @@ def test_shape_mismatch_raises_not_silent(tmp_path):
     with pytest.raises(ValueError, match="shape mismatch"):
         with pytest.warns(UserWarning, match="falling back"):
             read_npy_float32_batch([good, big], (2, 3))
+
+
+def test_transposed_shape_raises_not_silent(tmp_path):
+    """Same ELEMENT COUNT but different dims: the native reader must
+    reject per-dim (a (3,2) file would pass an element-count-only check
+    and silently fill a (2,3) slot with transposed data)."""
+    good = tmp_path / "good.npy"
+    tr = tmp_path / "transposed.npy"
+    np.save(good, np.zeros((2, 3), np.float32))
+    np.save(tr, np.arange(6, dtype=np.float32).reshape(3, 2))
+    with pytest.raises(ValueError, match="shape mismatch"):
+        with pytest.warns(UserWarning, match="falling back"):
+            read_npy_float32_batch([good, tr], (2, 3))
