@@ -177,6 +177,16 @@ def _target_platform() -> str:
     return jax.default_backend()
 
 
+def spatially_sharded() -> bool:
+    """True when the Trainer has a mesh with spatial>1 (it exports
+    P4T_SPATIAL_SHARDS): the fused Pallas kernels are opaque custom
+    calls to GSPMD, so lat-sharded runs must take the plain-XLA paths
+    (their pad/shift formulas lower to halo exchanges automatically)."""
+    import os
+
+    return int(os.environ.get("P4T_SPATIAL_SHARDS", "1") or 1) > 1
+
+
 def use_pallas_attention(lk: int, head_dim: int = 128) -> bool:
     """Pallas path: TPU backend, K/V small enough to sit in VMEM, and a
     head dim wide enough to feed the MXU lanes (tiny head dims pad to
@@ -186,6 +196,7 @@ def use_pallas_attention(lk: int, head_dim: int = 128) -> bool:
         _target_platform() == "tpu"
         and lk <= MAX_KV_VMEM_TOKENS
         and head_dim >= 32
+        and not spatially_sharded()
     )
 
 

@@ -788,13 +788,18 @@ def use_fused_hop(hidden_layers: int) -> int:
     h=64 channels fill only half of the 128 VMEM lanes and the
     custom-call serializes against the DMA overlap XLA schedules. Mode 2
     lane-packs corner pairs to 2h=128 (the stencil mode-2 trick) so the
-    elementwise chains and MXU passes run full-width."""
+    elementwise chains and MXU passes run full-width — measured 44.7 vs
+    49.6 XLA (same session, serial): bytes drop further (14.55 → 11.84
+    GB/step) but the achieved bandwidth inside the custom call drops
+    more (roofline frac 0.88 → 0.65). XLA's automatic DMA/compute
+    overlap beats the hand kernel at this arithmetic intensity, so the
+    default stays off."""
     import os
 
-    from py4cast_tpu.ops.attention import _target_platform
+    from py4cast_tpu.ops.attention import _target_platform, spatially_sharded
 
     if hidden_layers != 1 or os.environ.get("P4T_FUSED_HOP", "0") != "1":
         return 0
-    if _target_platform() != "tpu":
+    if _target_platform() != "tpu" or spatially_sharded():
         return 0
     return int(os.environ.get("P4T_FUSED_HOP_MODE", "2"))

@@ -1074,13 +1074,14 @@ def use_fused_stencil(hidden_layers: int) -> int:
     residency), which is where a real win over XLA would come from."""
     import os
 
-    from py4cast_tpu.ops.attention import _target_platform
+    from py4cast_tpu.ops.attention import _target_platform, spatially_sharded
 
     mode = os.environ.get("P4T_FUSED_STENCIL", "0")
     if (
         hidden_layers != 1
         or mode not in ("1", "2", "3")
         or _target_platform() != "tpu"
+        or spatially_sharded()
     ):
         return 0
     return int(mode)

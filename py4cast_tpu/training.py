@@ -20,6 +20,7 @@ from __future__ import annotations
 
 import dataclasses
 import json
+import os
 import time
 from dataclasses import dataclass, field
 from pathlib import Path
@@ -168,6 +169,11 @@ class AutoRegressiveModule:
                 f"Grid lat size {grid_shape[0]} is not divisible by the "
                 f"spatial mesh axis ({spatial_shards})."
             )
+        # the fused Pallas kernels (stencil/hop/attention) read this to
+        # disable themselves under spatial sharding: a pallas_call is an
+        # opaque custom call to GSPMD, so the lat-sharded paths must run
+        # the plain-XLA formulas (whose pad/shift lower to halo exchanges)
+        os.environ["P4T_SPATIAL_SHARDS"] = str(spatial_shards)
         if self.is_graph:
             # flattened (ngrid, …) statics: row-major flatten means a
             # contiguous shard of ngrid IS a band of lat rows, so the

@@ -325,3 +325,26 @@ def test_module_residual_shift_equals_xla_path(inputs, monkeypatch):
     out_fused = msg.apply(params, v, e, mask)
     for a, b in zip(out_xla, out_fused):
         np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-5)
+
+
+def test_fused_gates_disable_under_spatial_sharding(monkeypatch):
+    """A pallas_call is an opaque custom call to GSPMD — every fused
+    kernel gate must yield the XLA path when the Trainer exports a
+    spatial mesh axis > 1 (P4T_SPATIAL_SHARDS)."""
+    from py4cast_tpu.ops import attention as attn_mod
+    from py4cast_tpu.ops import hop_kernel
+    from py4cast_tpu.ops import stencil_kernel
+
+    monkeypatch.setattr(attn_mod, "_target_platform", lambda: "tpu")
+    monkeypatch.setenv("P4T_FUSED_STENCIL", "3")
+    monkeypatch.setenv("P4T_FUSED_HOP", "1")
+
+    monkeypatch.setenv("P4T_SPATIAL_SHARDS", "1")
+    assert stencil_kernel.use_fused_stencil(1) == 3
+    assert hop_kernel.use_fused_hop(1) == 2
+    assert attn_mod.use_pallas_attention(64, 128)
+
+    monkeypatch.setenv("P4T_SPATIAL_SHARDS", "2")
+    assert stencil_kernel.use_fused_stencil(1) == 0
+    assert hop_kernel.use_fused_hop(1) == 0
+    assert not attn_mod.use_pallas_attention(64, 128)
