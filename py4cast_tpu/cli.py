@@ -246,16 +246,14 @@ def main(argv: Optional[List[str]] = None) -> int:
             # keep only samples whose run hour is requested
             # (reference: lightning.py:1146-1152)
             hours = set(int(h) for h in dm.cfg.list_run_hour)
-            filtered = [
-                s
-                for s in infer_ds.sample_list
-                if s.timestamps.datetime.hour in hours
-            ]
-            if not filtered:
+            try:
+                infer_ds = infer_ds.filter_samples(
+                    lambda s: s.timestamps.datetime.hour in hours
+                )
+            except ValueError:
                 raise SystemExit(
                     f"No samples with run hour in {sorted(hours)}"
                 )
-            infer_ds.__dict__["sample_list"] = filtered
         preds = trainer.predict(module, infer_ds, state)
         out_dir = Path(trainer.config.save_path) / "predictions"
         out_dir.mkdir(parents=True, exist_ok=True)

@@ -335,10 +335,15 @@ class Stats:
         return {k: {s: float(v) for s, v in d.items()} for k, d in raw.items()}
 
     def save(self, fname: Path):
+        # write-to-tmp-then-rename: a concurrent process (pytest -n,
+        # multi-host first touch) must never read a truncated stats
+        # file (ADVICE r3)
         fname = Path(fname)
         fname.parent.mkdir(parents=True, exist_ok=True)
-        with open(fname, "w") as f:
+        tmp = fname.with_suffix(f".tmp.{os.getpid()}")
+        with open(tmp, "w") as f:
             json.dump(self.stats, f, indent=1)
+        os.replace(tmp, fname)
 
     def items(self):
         return self.stats.items()

@@ -476,6 +476,28 @@ class WeatherDataset:
         )
         return samples
 
+    def filter_samples(self, predicate) -> "WeatherDataset":
+        """Return a shallow copy of this dataset whose ``sample_list``
+        keeps only samples for which ``predicate(sample)`` is true —
+        the supported way to narrow an inference set (e.g. by run
+        hour; reference: lightning.py:1146-1152). The copy shares
+        grid/params/stats/accessor with the original; the original's
+        (lazily cached) sample list is not mutated.
+
+        Raises ``ValueError`` if no sample survives."""
+        import copy as _copy
+
+        filtered = [s for s in self.sample_list if predicate(s)]
+        if not filtered:
+            raise ValueError(
+                f"filter_samples left no samples in {self} "
+                f"(started from {len(self.sample_list)})"
+            )
+        ds = _copy.copy(self)
+        # pre-populate the cached_property slot on the copy only
+        ds.__dict__["sample_list"] = filtered
+        return ds
+
     def loader(
         self,
         batch_size: int = 1,

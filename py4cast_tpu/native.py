@@ -39,8 +39,22 @@ def _build(force: bool = False) -> bool:
         return False
 
 
+def _version_ok(lib: ctypes.CDLL) -> bool:
+    """True iff the .so carries the current ABI. Checked BEFORE binding
+    any versioned symbol so a stale build (gitignored .so surviving a
+    git pull; missing symbols would raise AttributeError) always takes
+    the rebuild path instead of crashing the first data read (ADVICE
+    r3, medium)."""
+    try:
+        return int(lib.p4t_version()) == _ABI_VERSION
+    except AttributeError:
+        return False  # pre-versioning build
+
+
 def _bind(path: Path) -> ctypes.CDLL:
     lib = ctypes.CDLL(str(path))
+    if not _version_ok(lib):
+        raise _StaleABI(path)
     lib.p4t_read_npy_batch_shaped.restype = ctypes.c_int
     lib.p4t_read_npy_batch_shaped.argtypes = [
         ctypes.POINTER(ctypes.c_char_p),
@@ -53,6 +67,10 @@ def _bind(path: Path) -> ctypes.CDLL:
     return lib
 
 
+class _StaleABI(Exception):
+    pass
+
+
 def _load() -> Optional[ctypes.CDLL]:
     global _lib, _tried
     with _lock:
@@ -62,16 +80,26 @@ def _load() -> Optional[ctypes.CDLL]:
         if not _LIB_PATH.exists() and not _build():
             return None
         try:
-            lib = _bind(_LIB_PATH)
-            if lib.p4t_version() != _ABI_VERSION:
-                # stale build from an older binding — rebuild in place
-                del lib
+            try:
+                lib = _bind(_LIB_PATH)
+            except (_StaleABI, AttributeError):
+                # stale build from an older binding — rebuild, then bind
+                # via a unique temp copy: dlopen caches by path, so
+                # re-CDLL'ing _LIB_PATH would hand back the stale image
+                # already mapped by the failed bind above
                 if not _build(force=True):
                     return None
-                lib = _bind(_LIB_PATH)
-                assert lib.p4t_version() == _ABI_VERSION
+                import shutil
+                import tempfile
+
+                tmp = tempfile.NamedTemporaryFile(
+                    suffix=".so", delete=False
+                )
+                tmp.close()
+                shutil.copy(_LIB_PATH, tmp.name)
+                lib = _bind(Path(tmp.name))
             _lib = lib
-        except (OSError, AssertionError) as e:
+        except (OSError, AttributeError, _StaleABI) as e:
             warnings.warn(f"native I/O core failed to load: {e}")
             _lib = None
         return _lib

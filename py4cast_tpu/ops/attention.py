@@ -177,14 +177,34 @@ def _target_platform() -> str:
     return jax.default_backend()
 
 
+# module-level gate state, set explicitly by each AutoRegressiveModule
+# before it traces (ADVICE r3: the env var alone was process-global
+# mutable state that a second trainer silently inherited). The env var
+# remains as a manual OVERRIDE only.
+_SPATIAL_SHARDS = 1
+
+
+def set_spatial_shards(n: int) -> None:
+    """Record the current trainer's spatial mesh extent. Called by
+    AutoRegressiveModule at construction AND before every trace so
+    interleaved modules with different meshes each trace with their
+    own gate value."""
+    global _SPATIAL_SHARDS
+    _SPATIAL_SHARDS = int(n)
+
+
 def spatially_sharded() -> bool:
-    """True when the Trainer has a mesh with spatial>1 (it exports
-    P4T_SPATIAL_SHARDS): the fused Pallas kernels are opaque custom
-    calls to GSPMD, so lat-sharded runs must take the plain-XLA paths
-    (their pad/shift formulas lower to halo exchanges automatically)."""
+    """True when the active module's mesh has spatial>1 (set via
+    ``set_spatial_shards``; ``P4T_SPATIAL_SHARDS`` env overrides): the
+    fused Pallas kernels are opaque custom calls to GSPMD, so
+    lat-sharded runs must take the plain-XLA paths (their pad/shift
+    formulas lower to halo exchanges automatically)."""
     import os
 
-    return int(os.environ.get("P4T_SPATIAL_SHARDS", "1") or 1) > 1
+    env = os.environ.get("P4T_SPATIAL_SHARDS")
+    if env:
+        return int(env) > 1
+    return _SPATIAL_SHARDS > 1
 
 
 def use_pallas_attention(lk: int, head_dim: int = 128) -> bool:

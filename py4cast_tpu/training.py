@@ -132,6 +132,18 @@ class AutoRegressiveModule:
         )
         self.model_settings = model_settings
         self.is_graph = kls.model_type == ModelType.GRAPH
+        if self.is_graph and settings.mask_ratio > 0:
+            # MAE block masking assumes a (B, lat, lon, F) grid layout
+            # (rollout.mask_blocks); GRAPH models consume flattened
+            # (B, ngrid, F). The reference shares the 4-D assumption
+            # (lightning.py:770) — fail loudly at config time instead
+            # of with an opaque unpack error at trace time.
+            raise ValueError(
+                f"mask_ratio={settings.mask_ratio} is unsupported for "
+                f"GRAPH models ({settings.model_name}): block masking "
+                "operates on the (lat, lon) grid layout. Set "
+                "mask_ratio: 0."
+            )
 
         grid_shape = statics.grid_shape
         input_shape = (
@@ -172,8 +184,13 @@ class AutoRegressiveModule:
         # the fused Pallas kernels (stencil/hop/attention) read this to
         # disable themselves under spatial sharding: a pallas_call is an
         # opaque custom call to GSPMD, so the lat-sharded paths must run
-        # the plain-XLA formulas (whose pad/shift lower to halo exchanges)
-        os.environ["P4T_SPATIAL_SHARDS"] = str(spatial_shards)
+        # the plain-XLA formulas (whose pad/shift lower to halo exchanges).
+        # Explicit module state, re-asserted before every trace in
+        # _get_jitted — P4T_SPATIAL_SHARDS env stays as an override only
+        from py4cast_tpu.ops.attention import set_spatial_shards
+
+        self._spatial_shards = spatial_shards
+        set_spatial_shards(spatial_shards)
         if self.is_graph:
             # flattened (ngrid, …) statics: row-major flatten means a
             # contiguous shard of ngrid IS a band of lat rows, so the
@@ -479,6 +496,13 @@ class AutoRegressiveModule:
         key = (kind, num_pred_steps)
         if key in self._jit_cache:
             return self._jit_cache[key]
+        # (re)assert THIS module's spatial-shard gate before tracing: the
+        # Pallas kernel gates consult module-level state at trace time,
+        # and another module with a different mesh may have traced since
+        # our constructor ran (ADVICE r3)
+        from py4cast_tpu.ops.attention import set_spatial_shards
+
+        set_spatial_shards(self._spatial_shards)
 
         if kind == "train":
 
@@ -847,8 +871,15 @@ class Trainer:
             prefetch=cfg.prefetch_factor,
             seed=cfg.seed,
         )
+        # score EVERY val sample: pad the tail batch instead of dropping
+        # it (the eval loop below masks padded rows via ``num_valid``) —
+        # val_mean_loss drives checkpoint selection AND early stopping,
+        # so silently ignoring up to batch_size-1 tail samples would bias
+        # both (reference: torch val DataLoader drop_last=False,
+        # /root/reference/py4cast/datasets/base.py:735-743)
         val_loader = val_ds.loader(
-            batch_size=cfg.batch_size, num_workers=cfg.num_workers
+            batch_size=cfg.batch_size, num_workers=cfg.num_workers,
+            drop_last=False, pad_last=True,
         )
         steps_per_epoch = len(train_loader)
         if cfg.limit_train_batches:

@@ -140,6 +140,29 @@ def test_dummy_dataset_end_to_end():
     assert (statics.border_mask + statics.interior_mask == 1).all()
 
 
+def test_filter_samples_by_run_hour():
+    """`WeatherDataset.filter_samples` narrows the sample list without
+    mutating the original — the supported API behind the CLI's
+    ``list_run_hour`` option (reference: lightning.py:1146-1152)."""
+    import pytest
+
+    train, _, _ = get_datasets("dummy", 1, 1, 1)
+    n_before = len(train)
+    hours = {s.timestamps.datetime.hour for s in train.sample_list}
+    assert len(hours) > 1  # dummy samples span several run hours
+    keep = sorted(hours)[0]
+    filtered = train.filter_samples(
+        lambda s: s.timestamps.datetime.hour == keep
+    )
+    assert 0 < len(filtered) < n_before
+    assert all(
+        s.timestamps.datetime.hour == keep for s in filtered.sample_list
+    )
+    assert len(train) == n_before  # original untouched
+    with pytest.raises(ValueError):
+        train.filter_samples(lambda s: False)
+
+
 def test_dummy_loader_batches():
     train, _, _ = get_datasets("dummy", 1, 1, 1)
     loader = train.loader(batch_size=4, num_workers=2, shuffle=True)

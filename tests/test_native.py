@@ -55,6 +55,46 @@ def test_native_is_at_least_as_fast(npy_files):
     # allow generous slack — this guards against pathological regressions only
     assert t_native < t_numpy * 3
 
+def test_stale_abi_rebuilds_not_crashes(tmp_path, monkeypatch):
+    """ADVICE r3 (medium): a stale .so from an older ABI — possibly
+    missing today's symbols entirely — must take the rebuild path, not
+    crash the first data read with AttributeError. Simulated with a
+    stub .so exporting only p4t_version()==2."""
+    import shutil
+    import subprocess
+
+    import py4cast_tpu.native as native
+
+    d = tmp_path / "native"
+    d.mkdir()
+    shutil.copy("/root/repo/native/p4t_io.cpp", d / "p4t_io.cpp")
+    shutil.copy("/root/repo/native/Makefile", d / "Makefile")
+    stub = d / "stub.cpp"
+    stub.write_text('extern "C" int p4t_version() { return 2; }\n')
+    subprocess.run(
+        ["g++", "-O1", "-std=c++17", "-fPIC", "-shared", "-o",
+         str(d / "libp4tio.so"), str(stub)],
+        check=True,
+    )
+    monkeypatch.setattr(native, "_NATIVE_DIR", d)
+    monkeypatch.setattr(native, "_LIB_PATH", d / "libp4tio.so")
+    monkeypatch.setattr(native, "_lib", None)
+    monkeypatch.setattr(native, "_tried", False)
+    assert native.native_available(), "stale-ABI .so was not rebuilt"
+    assert native._lib.p4t_version() == native._ABI_VERSION
+
+    # and a symbol-less pre-versioning stub takes the same path
+    stub.write_text('extern "C" int p4t_unrelated() { return 0; }\n')
+    subprocess.run(
+        ["g++", "-O1", "-std=c++17", "-fPIC", "-shared", "-o",
+         str(d / "libp4tio.so"), str(stub)],
+        check=True,
+    )
+    monkeypatch.setattr(native, "_lib", None)
+    monkeypatch.setattr(native, "_tried", False)
+    assert native.native_available()
+
+
 def test_shape_mismatch_raises_not_silent(tmp_path):
     """ADVICE r2: a file whose shape differs from the probed batch shape
     must raise (or fall back and raise), never silently fill the buffer

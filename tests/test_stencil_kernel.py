@@ -348,3 +348,20 @@ def test_fused_gates_disable_under_spatial_sharding(monkeypatch):
     assert stencil_kernel.use_fused_stencil(1) == 0
     assert hop_kernel.use_fused_hop(1) == 0
     assert not attn_mod.use_pallas_attention(64, 128)
+
+
+def test_spatial_shard_gate_is_explicit_module_state(monkeypatch):
+    """ADVICE r3: the gate is explicit state set via set_spatial_shards
+    (per-module, re-asserted before each trace); the env var is only a
+    manual override."""
+    from py4cast_tpu.ops import attention as attn_mod
+
+    monkeypatch.delenv("P4T_SPATIAL_SHARDS", raising=False)
+    monkeypatch.setattr(attn_mod, "_SPATIAL_SHARDS", 1)
+    assert not attn_mod.spatially_sharded()
+    attn_mod.set_spatial_shards(4)
+    assert attn_mod.spatially_sharded()
+    attn_mod.set_spatial_shards(1)  # a second trainer resets the gate
+    assert not attn_mod.spatially_sharded()
+    monkeypatch.setenv("P4T_SPATIAL_SHARDS", "2")  # env overrides
+    assert attn_mod.spatially_sharded()
