@@ -22,7 +22,9 @@ compile service is slow.
 
 Env knobs: BENCH_MODEL (one model instead of all), BENCH_BATCH,
 BENCH_STEPS, BENCH_PRECISION, BENCH_MODE=scan|loop, BENCH_BUDGET_S,
-BENCH_EXTRA1/2/3 ("Model:batch" specs), BENCH_GRID ("HxW").
+BENCH_EXTRA1..4 ("Model:batch" or a named EXTRA_SPECS key — the
+3-AR-step HiLAM row and the 16-member Poesy ensemble row), BENCH_GRID
+("HxW").
 """
 
 import json
@@ -70,7 +72,12 @@ CONFIGS = {
     "GraphLAM": ((500, 500), {"hidden_dims": 64, "processor_layers": 4,
                               "mesh_levels": 3}),
     "HalfUNet": ((512, 640), {"num_filters": 64}),
-    "UNetRPP": ((512, 640), {"hidden_size": 256, "downsampling_rate": 4}),
+    # the reference's ACTUAL UNetRPP training config (config/CLI/model/
+    # unetrpp.yaml: hidden_size 1024, linear upsampling) — rounds 1-3
+    # benched a 16×-smaller hidden_size 256 whose head dims (2..16)
+    # starve the MXU and made the model look artificially inefficient
+    "UNetRPP": ((512, 640), {"hidden_size": 1024, "downsampling_rate": 4,
+                             "linear_upsampling": True}),
 }
 
 
@@ -93,7 +100,10 @@ def peak_hbm():
 
 
 def bench_model(model: str, batch_size: int, n_steps: int, precision: str,
-                mode: str) -> dict:
+                mode: str, num_pred_steps: int = 1,
+                weather_features: int = 21, forcing_features: int = 21,
+                grid_override=None, metric_suffix: str = "",
+                remat=None) -> dict:
     import jax
     import jax.numpy as jnp
 
@@ -111,12 +121,16 @@ def bench_model(model: str, batch_size: int, n_steps: int, precision: str,
               file=sys.stderr, flush=True)
 
     grid, init_args = CONFIGS.get(model, ((512, 640), {}))
+    if grid_override is not None:
+        grid = grid_override
     if os.environ.get("BENCH_GRID"):  # debug/smoke override
         h, w = (int(v) for v in os.environ["BENCH_GRID"].split("x"))
         grid = (h, w)
-    remat = os.environ.get("BENCH_REMAT") == "1"
+    if remat is None:
+        remat = os.environ.get("BENCH_REMAT") == "1"
     info = synthetic_dataset_info(
-        grid_shape=grid, weather_features=21, forcing_features=21
+        grid_shape=grid, weather_features=weather_features,
+        forcing_features=forcing_features,
     )
     settings = TrainingSettings(
         model_name=model,
@@ -143,11 +157,10 @@ def bench_model(model: str, batch_size: int, n_steps: int, precision: str,
     # round-2 programs 100-900 MB (slow tunnel uploads even on cache
     # hits; HTTP-413 at batch 8).
     inputs, forcing, outputs = synthetic_device_arrays(
-        module, batch_size=batch_size, num_pred_steps=1
+        module, batch_size=batch_size, num_pred_steps=num_pred_steps
     )
     phase("batch on device")
     buffers = module.step_buffers()
-    num_pred_steps = 1
 
     def one_step(state, inputs, forcing, outputs, rng, buffers):
         grad_fn = jax.value_and_grad(module._batch_loss, has_aux=True)
@@ -209,18 +222,28 @@ def bench_model(model: str, batch_size: int, n_steps: int, precision: str,
         ca = ca[0] if ca else {}
     ca = ca or {}
     # XLA cost analysis counts a while/scan body ONCE (not × trip
-    # count), so the scan program's flops ARE the per-step flops
-    flops_per_step = float(ca.get("flops", 0.0))
+    # count). For the outer bench scan that is exactly per-step cost —
+    # but the models' own nn.scan stages (UNetRPP depth-3 stages, GNN
+    # processor sweeps) get undercounted by their depth, which is why
+    # MFU comes from the analytic jaxpr walker (ops/flops.py) instead.
+    flops_xla = float(ca.get("flops", 0.0))
     bytes_per_step = float(ca.get("bytes accessed", 0.0))
+    from py4cast_tpu.ops.flops import step_flops
+
+    flops_per_step = step_flops(
+        one_step, state, inputs, forcing, outputs, rng, buffers
+    )
 
     sps = n_steps * batch_size / dt
     step_s = dt / n_steps
     mfu = flops_per_step / step_s / peak_flops()
     #: fraction of the HBM-bandwidth roofline this step sustains (bytes
     #: are XLA's HLO-level estimate — an upper bound on true traffic, so
-    #: the fraction can exceed 1 when fusion removes round-trips)
+    #: the fraction can exceed 1 when fusion removes round-trips; inner
+    #: nn.scan bodies are counted once, an UNDER-count for scanned
+    #: stages, so treat this as indicative, not exact)
     hbm_frac = bytes_per_step / step_s / peak_hbm()
-    suffix = f"_b{batch_size}" if batch_size != 1 else ""
+    suffix = metric_suffix or (f"_b{batch_size}" if batch_size != 1 else "")
     return {
         "metric": (
             f"{model.lower()}_{grid[0]}x{grid[1]}"
@@ -228,9 +251,16 @@ def bench_model(model: str, batch_size: int, n_steps: int, precision: str,
         ),
         "value": round(sps, 3),
         "unit": "samples/s",
-        "vs_baseline": round(sps / BASELINE_SAMPLES_PER_SEC, 2),
+        # like-for-like baseline: the reference's 3-AR-step HiLAM row is
+        # 0.59 it/s (doc/num_steps.md:121), every other row 1.53 it/s
+        "vs_baseline": round(
+            sps / (0.59 if num_pred_steps == 3 else BASELINE_SAMPLES_PER_SEC),
+            2,
+        ),
+        **({"num_pred_steps": num_pred_steps} if num_pred_steps != 1 else {}),
         "mfu": round(mfu, 4),
         "flops_per_step_G": round(flops_per_step / 1e9, 1),
+        "flops_xla_G": round(flops_xla / 1e9, 1),
         "hbm_bytes_per_step_GB": round(bytes_per_step / 1e9, 2),
         "hbm_roofline_frac": round(hbm_frac, 3),
         "compile_seconds": round(compile_s, 1),
@@ -266,9 +296,9 @@ def main():
     t_start = time.perf_counter()
     budget_s = float(os.environ.get("BENCH_BUDGET_S", "480"))
 
-    def run_one(model, key, bs):
+    def run_one(model, key, bs, **kw):
         try:
-            r = bench_model(model, bs, n_steps, precision, mode)
+            r = bench_model(model, bs, n_steps, precision, mode, **kw)
         except Exception as e:  # one broken model must not kill the headline
             traceback.print_exc(file=sys.stderr)
             grid = CONFIGS.get(model, ((0, 0),))[0]
@@ -280,16 +310,42 @@ def main():
         print(json.dumps(r), flush=True)
         print(headline_line(results), flush=True)
 
+    # named extra configs beyond "Model:batch" batch scaling:
+    # - hilam_3step completes the reference baseline table — its
+    #   like-for-like row is 3-AR-step HiLAM at 0.59 it/s
+    #   (reference doc/num_steps.md:121)
+    # - poesy_members16 is the ensemble path: one FULL 16-member PEARO
+    #   ensemble group per step on the Poesy crop (600x600, 4 surface
+    #   params; reference poesy/settings.py:10 DATA_SHAPE) — members
+    #   ride the batch dim (datasets/poesy.py), so this measures the
+    #   member-dim chip cost round 3 never did
+    EXTRA_SPECS = {
+        # at the reference's hidden-1024 config UNetRPP b8 exceeds v5e
+        # HBM (b1 already streams 41 GB/step); batch scaling is measured
+        # at b4 with remat instead
+        "UNetRPP:4r": dict(model="UNetRPP", bs=4, remat=True),
+        "HiLAM:3step": dict(model="HiLAM", bs=1, num_pred_steps=3,
+                            metric_suffix="_3step"),
+        "Poesy:members16": dict(model="HalfUNet", bs=16,
+                                weather_features=4, forcing_features=5,
+                                grid_override=(600, 600),
+                                metric_suffix="_poesy_members16"),
+    }
+
     def run_extra(spec, gate_s):
-        """Batch-scaling extra (MFU at batch 8), gated on elapsed time so
-        the four headline models always land regardless of remote-compile
-        service weather."""
-        name, bs = spec.split(":")
+        """Extra measurement (batch scaling / 3-step / ensemble), gated on
+        elapsed time so the four headline models always land regardless
+        of remote-compile service weather."""
         if time.perf_counter() - t_start > gate_s:
             print(f"# skipping {spec}: over {gate_s:.0f}s gate",
                   file=sys.stderr, flush=True)
             return
-        run_one(name, f"{name}@b{bs}", int(bs))
+        if spec in EXTRA_SPECS:
+            kw = dict(EXTRA_SPECS[spec])
+            run_one(kw.pop("model"), spec, kw.pop("bs"), **kw)
+        else:
+            name, bs = spec.split(":")
+            run_one(name, f"{name}@b{bs}", int(bs))
 
     models = [only] if only else list(CONFIGS)
     results = {}
@@ -309,9 +365,11 @@ def main():
         # UNetRPP 45.8 -> 56.4 samples/s b1 -> b8; HiLAM stays FLAT
         # (49.9 -> 47.1) because GNN edge-state traffic scales WITH
         # batch — no weight/optimizer traffic to amortize.
-        run_extra(os.environ.get("BENCH_EXTRA2", "UNetRPP:8"),
-                  budget_s * 0.85)
-        run_extra(os.environ.get("BENCH_EXTRA3", "HiLAM:8"), budget_s)
+        run_extra(os.environ.get("BENCH_EXTRA2", "UNetRPP:4r"),
+                  budget_s * 0.75)
+        run_extra(os.environ.get("BENCH_EXTRA3", "HiLAM:3step"),
+                  budget_s * 0.9)
+        run_extra(os.environ.get("BENCH_EXTRA4", "Poesy:members16"), budget_s)
 
 
 if __name__ == "__main__":
