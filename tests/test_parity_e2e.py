@@ -10,15 +10,28 @@ from pathlib import Path
 REPO = Path(__file__).resolve().parents[1]
 
 
-def test_parity_e2e_five_steps(tmp_path):
-    proc = subprocess.run(
-        [sys.executable, str(REPO / "bin" / "parity_e2e.py"),
+def _run(tmp_path, script):
+    return subprocess.run(
+        [sys.executable, str(REPO / "bin" / script),
          "--steps", "5", "--out", str(tmp_path)],
         capture_output=True, text=True, timeout=540,
         env={"PY4CAST_TPU_ROOTDIR": str(tmp_path / "root"),
              "JAX_PLATFORMS": "cpu", "PATH": "/usr/bin:/bin:/usr/local/bin",
              "HOME": "/root"},
     )
+
+
+def test_parity_e2e_five_steps(tmp_path):
+    proc = _run(tmp_path, "parity_e2e.py")
     assert proc.returncode == 0, proc.stdout[-2000:] + proc.stderr[-2000:]
     assert "PARITY OK" in proc.stdout
     assert (tmp_path / "parity_e2e.json").exists()
+
+
+def test_parity_e2e_gnn_five_steps(tmp_path):
+    """Lattice-GraphLAM (JAX, lattice fast path) vs gather/scatter torch
+    restatement: identical 5-step training trajectory."""
+    proc = _run(tmp_path, "parity_e2e_gnn.py")
+    assert proc.returncode == 0, proc.stdout[-2000:] + proc.stderr[-2000:]
+    assert "PARITY OK" in proc.stdout
+    assert (tmp_path / "parity_e2e_gnn.json").exists()
