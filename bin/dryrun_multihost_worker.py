@@ -192,6 +192,86 @@ got = sorted(
 )
 assert len(got) == 8 // nproc, got  # each process loads its slice only
 
+# ---- uneven (padded) eval tail under multi-host: 11 deterministic
+# samples at GLOBAL batch 8 → second batch carries 3 real + 5 padded
+# rows; ItemBatch.num_valid masks the padding so every real sample is
+# scored exactly once, with per-sample losses identical on every
+# process AND across topologies (the orchestrator compares runs —
+# reference behavior: torch val DataLoader drop_last=False,
+# datasets/base.py:735-743)
+import datetime as _dt  # noqa: E402
+
+N_TAIL, TAIL_GLOBAL_BATCH = 11, 8
+
+
+class _TailDS:
+    def __len__(self):
+        return N_TAIL
+
+    def __getitem__(self, i):
+        rng = np.random.default_rng(1000 + i)  # seeded by GLOBAL index
+        h, w = info.statics.grid_shape
+        names = ("timestep", "lat", "lon", "features")
+
+        def na(t, f, feats):
+            return NamedArray(
+                rng.standard_normal((t, h, w, f)).astype(np.float32),
+                names, feats,
+            )
+
+        return Item(
+            inputs=na(2, info.weather_dim, info.output_feature_names),
+            outputs=na(2, info.weather_dim, info.output_feature_names),
+            forcing=na(2, info.forcing_dim, info.forcing_feature_names),
+            validity_times=[_dt.datetime(2020, 1, 1, hh) for hh in (1, 2)],
+        )
+
+
+# fresh deterministic params: init_state(key(0)) is topology-independent
+# (the TRAINED state above is not — its data partitioning differs by
+# process count), so tail scores are comparable across runs
+tail_state = module.init_state(jax.random.key(0), num_training_steps=4)
+tail_losses = []
+for b in DataLoader(_TailDS(), batch_size=TAIL_GLOBAL_BATCH, num_workers=1,
+                    drop_last=False, pad_last=True):
+    _, per_step = module.eval_step(tail_state, b, jax.random.key(21))
+    rows = to_host(per_step)  # (global batch, T) on EVERY process
+    nv = b.num_valid if b.num_valid is not None else TAIL_GLOBAL_BATCH
+    tail_losses.extend(float(v) for v in np.asarray(rows)[:nv].mean(axis=1))
+assert len(tail_losses) == N_TAIL, (
+    f"padded tail mis-scored: {len(tail_losses)} != {N_TAIL}"
+)
+
+# ---- GRIB export under multi-host: host 0 encodes one predicted field
+# through the in-repo GRIB2 codec; every process then decodes the same
+# file and checks the values round-trip (host-0-only writes are asserted
+# by the orchestrator over the whole out_dir)
+from py4cast_tpu.io.grib2 import Grib2Field, read_grib2, write_grib2  # noqa: E402
+
+grib_path = out_dir / "gribs" / "pred_mh.grib2"
+h, w = info.statics.grid_shape
+pred_field = np.asarray(pred_na.array, np.float32)[0, 0, :, :, 0]
+if is_main_process():
+    write_grib2(
+        grib_path,
+        [Grib2Field(
+            values=pred_field,
+            lat=np.linspace(40.0, 50.0, h),
+            lon=np.linspace(0.0, 10.0, w),
+            parameter_category=0, parameter_number=0,
+            type_of_level=103, level=2.0,
+            data_date=_dt.date(2020, 1, 1), forecast_hours=1,
+        )],
+    )
+multihost_utils.sync_global_devices("p4t_multihost_grib_done")
+decoded = read_grib2(grib_path)
+assert len(decoded) == 1
+# 16-bit simple packing: quantization error bounded by range / 2^16
+span = float(pred_field.max() - pred_field.min()) or 1.0
+assert np.allclose(decoded[0].values, pred_field, atol=span / 2**15), (
+    "GRIB round-trip diverged under multi-host"
+)
+
 (out_dir / f"proc{proc_id}.json").write_text(
     __import__("json").dumps(
         {
@@ -202,6 +282,8 @@ assert len(got) == 8 // nproc, got  # each process loads its slice only
             "local_loader_rows": got,
             "target_row_means": target_row_means,
             "figs_written": figs_written,
+            "tail_losses": tail_losses,
+            "grib_file": str(grib_path.relative_to(out_dir)),
         }
     )
 )

@@ -17,3 +17,27 @@ def test_dryrun_multihost_2x2():
     # loader partitioning, identical losses on every process; the
     # orchestrator enforces its own subprocess timeout
     dryrun_multihost(n_processes=2, devices_per_process=2, timeout=420)
+
+
+def test_dryrun_multihost_4proc_tail_scores_match_single_process():
+    """4-process cluster (VERDICT r3 #7): the uneven padded eval tail
+    (11 samples at global batch 8) and GRIB export must produce the SAME
+    per-sample scores as a single-process run — topology must not change
+    what gets scored (reference: torch val DataLoader drop_last=False,
+    datasets/base.py:735-743)."""
+    import numpy as np
+
+    from __graft_entry__ import dryrun_multihost
+
+    single = dryrun_multihost(n_processes=1, devices_per_process=4,
+                              timeout=420)
+    four = dryrun_multihost(n_processes=4, devices_per_process=2,
+                            timeout=600)
+    # same deterministic 11 samples, same init weights: per-sample losses
+    # must agree across a 1x4 and a 4x2 topology (different device counts
+    # and spatial shardings change only float reduction order)
+    np.testing.assert_allclose(
+        np.asarray(four[0]["tail_losses"]),
+        np.asarray(single[0]["tail_losses"]),
+        rtol=2e-4,
+    )
