@@ -673,21 +673,7 @@ class _StencilMessage(nn.Module):
         ps = nn.Dense(h, use_bias=False, name="w_s")(v)
         pd = nn.Dense(h, use_bias=False, name="w_d")(v)
         fused_mode = use_fused_stencil(self.hidden_layers)
-        if fused_mode == 3:
-            # mode 3: the kernel builds the directional shifts from
-            # halo bands of ps — the (B, 8, H, W, h) vs tensor never
-            # exists in HBM (ops/stencil_kernel.py); param tree and
-            # numerics match the XLA path below
-            from py4cast_tpu.ops.stencil_kernel import fused_stencil_shift
-
-            ke, be = _DenseParams(h, name="w_e")(e.shape[-1])
-            ko, bo = _DenseParams(h, name="out")(h)
-            lns, lnb = _LNParams(name="ln")(h)
-            e_new, agg = fused_stencil_shift(
-                e, ps, pd, mask, ke, be, ko, bo, lns, lnb,
-                residual=self.residual,
-            )
-        elif fused_mode:
+        if fused_mode:
             # fused Pallas stage: every (B, 8, H, W, h) intermediate
             # stays in VMEM (ops/stencil_kernel.py); param tree and
             # numerics match the XLA path below

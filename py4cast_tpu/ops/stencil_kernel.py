@@ -241,124 +241,6 @@ def _fwd_kernel_packed(e_ref, vs_ref, pd_ref, mask_ref,
     agg_ref[0] = (acc2[..., :h] + acc2[..., h:]).astype(agg_ref.dtype)
 
 
-# ------------------------------------------- mode 3: in-kernel shifts
-# Modes 1/2 still require the caller to MATERIALIZE vs — the stacked
-# (B, 8, H, W, h) shifted source projections — in HBM (a write + read
-# of 8·H·W·h per layer, the single largest byte stream of the stage).
-# Mode 3 reads the un-stacked ps = v @ Ws directly, with a one-row halo
-# (three clamped band views of the same array), and constructs every
-# directional shift inside VMEM. The backward pass un-shifts the edge
-# pre-activation gradients into a (bh+2)-row tall accumulator and emits
-# per-band halo spill rows (dps_up/dps_down) that the wrapper folds
-# back — so neither vs nor dvs ever exists in HBM. Arithmetic is the
-# mode-2 lane-packed form (direction pairs, block-diagonal matmuls).
-
-
-def _colshift(x, dj):
-    """out[:, b] = x[:, b - dj], zero-filled. Expressed as a lane roll
-    plus an iota mask: Mosaic cannot concatenate along the
-    lane-adjacent W dimension ("result/input offset mismatch on
-    non-concat dimension")."""
-    if dj == 0:
-        return x
-    from jax.experimental.pallas import tpu as pltpu
-
-    w = x.shape[-2]
-    rolled = pltpu.roll(x, dj % w, axis=x.ndim - 2)  # roll needs shift ≥ 0
-    col = jax.lax.broadcasted_iota(jnp.int32, x.shape, x.ndim - 2)
-    if dj > 0:
-        return jnp.where(col < dj, jnp.zeros_like(x), rolled)
-    return jnp.where(col >= w + dj, jnp.zeros_like(x), rolled)
-
-
-#: DIRS8 order (ops/lattice_ops.py): (di, dj) for di in -1,0,1 for dj
-#: in -1,0,1 minus (0,0)
-_DIRS8 = ((-1, -1), (-1, 0), (-1, 1), (0, -1), (0, 1),
-          (1, -1), (1, 0), (1, 1))
-
-
-def _ps_tall(psp_ref, ps_ref, psn_ref, bh):
-    """(bh+2, W, h) band of ps with one halo row each side, zeroed at
-    the global edges (shift2d zero-fill semantics)."""
-    j = pl.program_id(1)
-    nb = pl.num_programs(1)
-    prev_row = psp_ref[0, -1:].astype(jnp.float32)
-    next_row = psn_ref[0, :1].astype(jnp.float32)
-    prev_row = jnp.where(j > 0, prev_row, 0.0)
-    next_row = jnp.where(j < nb - 1, next_row, 0.0)
-    own = ps_ref[0].astype(jnp.float32)
-    return jnp.concatenate([prev_row, own, next_row], axis=0)
-
-
-def _vs_pair(tall, kp, bh):
-    """Packed (bh, W, 2h) shifted-source block for directions kp and
-    kp+4, built from the tall ps band: vs_k[a, b] = ps[a-di, b-dj]."""
-    di1, dj1 = _DIRS8[kp]
-    di2, dj2 = _DIRS8[kp + 4]
-    v1 = _colshift(tall[1 - di1 : 1 - di1 + bh], dj1)
-    v2 = _colshift(tall[1 - di2 : 1 - di2 + bh], dj2)
-    return jnp.concatenate([v1, v2], axis=-1)
-
-
-def _fwd_kernel_shift(e_ref, psp_ref, ps_ref, psn_ref, pd_ref, mask_ref,
-                      we2_ref, be2_ref, wo2_ref, bo2_ref,
-                      lns2_ref, lnb2_ref, msel_ref, mbc_ref,
-                      enew_ref, agg_ref, *, residual=False):
-    f_in = e_ref.shape[-1]
-    h = ps_ref.shape[-1]
-    bh = ps_ref.shape[1]
-
-    def mm(a, b):
-        return jax.lax.dot_general(
-            a, b, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
-        )
-
-    pd = pd_ref[0].astype(jnp.float32)
-    pd2 = jnp.concatenate([pd, pd], -1)
-    we2 = we2_ref[...].astype(jnp.float32)
-    wo2 = wo2_ref[...].astype(jnp.float32)
-    be2 = be2_ref[...].astype(jnp.float32)
-    bo2 = bo2_ref[...].astype(jnp.float32)
-    lns2 = lns2_ref[...].astype(jnp.float32)
-    lnb2 = lnb2_ref[...].astype(jnp.float32)
-    msel = msel_ref[...]
-    mbc = mbc_ref[...]
-    tall = _ps_tall(psp_ref, ps_ref, psn_ref, bh)
-
-    def half_mean(x):
-        flat = x.reshape(-1, 2 * h)
-        return mm(mm(flat, msel), mbc).reshape(x.shape)
-
-    acc2 = jnp.zeros(pd2.shape, jnp.float32)
-    for kp in range(4):
-        e2 = jnp.concatenate(
-            [e_ref[0, kp], e_ref[0, kp + 4]], -1
-        ).astype(jnp.float32)
-        vs2 = _vs_pair(tall, kp, bh)
-        pre = (
-            mm(e2.reshape(-1, 2 * f_in), we2).reshape(e2.shape[:-1] + (2 * h,))
-            + be2 + vs2 + pd2
-        )
-        z = pre * jax.nn.sigmoid(pre)
-        t = mm(z.reshape(-1, 2 * h), wo2).reshape(z.shape) + bo2
-        mu = half_mean(t)
-        d = t - mu
-        var = half_mean(d * d)
-        e_new2 = d * jax.lax.rsqrt(var + LN_EPS) * lns2 + lnb2
-        out2 = e_new2 + e2 if residual else e_new2
-        enew_ref[0, kp] = out2[..., :h].astype(enew_ref.dtype)
-        enew_ref[0, kp + 4] = out2[..., h:].astype(enew_ref.dtype)
-        m2 = jnp.concatenate(
-            [
-                jnp.broadcast_to(mask_ref[kp], pd.shape[:-1] + (h,)),
-                jnp.broadcast_to(mask_ref[kp + 4], pd.shape[:-1] + (h,)),
-            ],
-            -1,
-        ).astype(jnp.float32)
-        acc2 = acc2 + e_new2 * m2
-    agg_ref[0] = (acc2[..., :h] + acc2[..., h:]).astype(agg_ref.dtype)
-
-
 # ----------------------------------------------------------------- backward
 def _bwd_kernel(e_ref, vs_ref, pd_ref, mask_ref,
                 we_ref, wo_ref, bo_ref, lns_ref, be_ref,
@@ -682,324 +564,6 @@ def _bwd_kernel_packed(e_ref, vs_ref, pd_ref, mask_ref,
     dlnb2_ref[...] += dlnb2_acc
 
 
-# ------------------------------------------- mode-3 backward + wrappers
-def _bwd_kernel_shift(e_ref, psp_ref, ps_ref, psn_ref, pd_ref, mask_ref,
-                      we2_ref, wo2_ref, bo2_ref, lns2_ref, be2_ref,
-                      msel_ref, mbc_ref,
-                      genew_ref, gagg_ref,
-                      de_ref, dpsc_ref, dpsu_ref, dpsd_ref, dpd_ref,
-                      dwe2_ref, dbe2_ref, dwo2_ref, dbo2_ref,
-                      dlns2_ref, dlnb2_ref, *, residual=False):
-    """Recompute backward with in-kernel shifts. dps spills one halo row
-    per side (dpsu/dpsd) for the wrapper to fold into the neighbor
-    bands; contributions to rows/cols outside the global lattice are
-    dropped — exactly the zero-fill forward's gradient."""
-    f_in = e_ref.shape[-1]
-    h = ps_ref.shape[-1]
-    bh = ps_ref.shape[1]
-    first = (pl.program_id(0) == 0) & (pl.program_id(1) == 0)
-
-    @pl.when(first)
-    def _init():
-        dwe2_ref[...] = jnp.zeros_like(dwe2_ref)
-        dbe2_ref[...] = jnp.zeros_like(dbe2_ref)
-        dwo2_ref[...] = jnp.zeros_like(dwo2_ref)
-        dbo2_ref[...] = jnp.zeros_like(dbo2_ref)
-        dlns2_ref[...] = jnp.zeros_like(dlns2_ref)
-        dlnb2_ref[...] = jnp.zeros_like(dlnb2_ref)
-
-    def mm(a, b):
-        return jax.lax.dot_general(
-            a, b, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
-        )
-
-    pd = pd_ref[0].astype(jnp.float32)
-    pd2 = jnp.concatenate([pd, pd], -1)
-    we2 = we2_ref[...].astype(jnp.float32)
-    wo2 = wo2_ref[...].astype(jnp.float32)
-    be2 = be2_ref[...].astype(jnp.float32)
-    bo2 = bo2_ref[...].astype(jnp.float32)
-    lns2 = lns2_ref[...].astype(jnp.float32)
-    msel = msel_ref[...]
-    mbc = mbc_ref[...]
-    gagg = gagg_ref[0].astype(jnp.float32)
-    gagg2 = jnp.concatenate([gagg, gagg], -1)
-    tall = _ps_tall(psp_ref, ps_ref, psn_ref, bh)
-
-    def half_mean(x):
-        flat = x.reshape(-1, 2 * h)
-        return mm(mm(flat, msel), mbc).reshape(x.shape)
-
-    dps_tall = jnp.zeros((bh + 2,) + pd.shape[1:], jnp.float32)
-    dpd2_acc = jnp.zeros(pd2.shape, jnp.float32)
-    dwe2_acc = jnp.zeros((2 * f_in, 2 * h), jnp.float32)
-    dbe2_acc = jnp.zeros((2 * h,), jnp.float32)
-    dwo2_acc = jnp.zeros((2 * h, 2 * h), jnp.float32)
-    dbo2_acc = jnp.zeros((2 * h,), jnp.float32)
-    dlns2_acc = jnp.zeros((2 * h,), jnp.float32)
-    dlnb2_acc = jnp.zeros((2 * h,), jnp.float32)
-
-    for kp in range(4):
-        e2 = jnp.concatenate(
-            [e_ref[0, kp], e_ref[0, kp + 4]], -1
-        ).astype(jnp.float32)
-        vs2 = _vs_pair(tall, kp, bh)
-        # ---- recompute forward internals
-        pre = (
-            mm(e2.reshape(-1, 2 * f_in), we2).reshape(e2.shape[:-1] + (2 * h,))
-            + be2 + vs2 + pd2
-        )
-        sig = jax.nn.sigmoid(pre)
-        z = pre * sig
-        t = mm(z.reshape(-1, 2 * h), wo2).reshape(z.shape) + bo2
-        mu = half_mean(t)
-        d = t - mu
-        var = half_mean(d * d)
-        inv = jax.lax.rsqrt(var + LN_EPS)
-        xhat = d * inv
-        m2 = jnp.concatenate(
-            [
-                jnp.broadcast_to(mask_ref[kp], pd.shape[:-1] + (h,)),
-                jnp.broadcast_to(mask_ref[kp + 4], pd.shape[:-1] + (h,)),
-            ],
-            -1,
-        ).astype(jnp.float32)
-        g = (
-            jnp.concatenate(
-                [genew_ref[0, kp], genew_ref[0, kp + 4]], -1
-            ).astype(jnp.float32)
-            + gagg2 * m2
-        )
-        # ---- LayerNorm backward (per-half statistics)
-        dlns2_acc = dlns2_acc + jnp.sum((g * xhat).reshape(-1, 2 * h), axis=0)
-        dlnb2_acc = dlnb2_acc + jnp.sum(g.reshape(-1, 2 * h), axis=0)
-        gx = g * lns2
-        dt = (gx - half_mean(gx) - xhat * half_mean(gx * xhat)) * inv
-        # ---- out dense backward
-        dwo2_acc = dwo2_acc + mm(z.reshape(-1, 2 * h).T, dt.reshape(-1, 2 * h))
-        dbo2_acc = dbo2_acc + jnp.sum(dt.reshape(-1, 2 * h), axis=0)
-        dz = mm(dt.reshape(-1, 2 * h), wo2.T).reshape(dt.shape)
-        # ---- silu backward
-        dpre = dz * (sig * (1.0 + pre * (1.0 - sig)))
-        # ---- edge dense backward + input grads
-        dwe2_acc = dwe2_acc + mm(
-            e2.reshape(-1, 2 * f_in).T, dpre.reshape(-1, 2 * h)
-        )
-        dbe2_acc = dbe2_acc + jnp.sum(dpre.reshape(-1, 2 * h), axis=0)
-        de2 = mm(dpre.reshape(-1, 2 * h), we2.T).reshape(
-            dpre.shape[:-1] + (2 * f_in,)
-        )
-        if residual:  # direct path of out = e + e_new (f_in == h)
-            de2 = de2 + jnp.concatenate(
-                [genew_ref[0, kp], genew_ref[0, kp + 4]], -1
-            ).astype(jnp.float32)
-        de_ref[0, kp] = de2[..., :f_in].astype(de_ref.dtype)
-        de_ref[0, kp + 4] = de2[..., f_in:].astype(de_ref.dtype)
-        # ---- un-shift the vs gradient into the tall dps accumulator:
-        # dps[p, q] += dpre_k[p + di, q + dj]. Written as zero-row
-        # padding + add (NOT .at[].add — jnp scatter-add does not lower
-        # in Pallas TPU); the contribution occupies rows
-        # [1-di : 1-di+bh] of the (bh+2)-row accumulator.
-        for which, (di, dj) in ((0, _DIRS8[kp]), (1, _DIRS8[kp + 4])):
-            dpre_k = dpre[..., which * h : (which + 1) * h]
-            contrib = _colshift(dpre_k, -dj)
-
-            def zrows(n):
-                return jnp.zeros((n,) + contrib.shape[1:], contrib.dtype)
-
-            # di is a Python constant; skip empty padding pieces —
-            # Mosaic rejects zero-size vectors
-            pieces = ([zrows(1 - di)] if di < 1 else []) + [contrib] + (
-                [zrows(1 + di)] if di > -1 else []
-            )
-            dps_tall = dps_tall + jnp.concatenate(pieces, axis=0)
-        dpd2_acc = dpd2_acc + dpre
-
-    dpsc_ref[0] = dps_tall[1 : bh + 1].astype(dpsc_ref.dtype)
-    dpsu_ref[0, 0] = dps_tall[0].astype(dpsu_ref.dtype)
-    dpsd_ref[0, 0] = dps_tall[bh + 1].astype(dpsd_ref.dtype)
-    dpd_ref[0] = (dpd2_acc[..., :h] + dpd2_acc[..., h:]).astype(dpd_ref.dtype)
-    dwe2_ref[...] += dwe2_acc
-    dbe2_ref[...] += dbe2_acc
-    dwo2_ref[...] += dwo2_acc
-    dbo2_ref[...] += dbo2_acc
-    dlns2_ref[...] += dlns2_acc
-    dlnb2_ref[...] += dlnb2_acc
-
-
-def _shift_call_fwd(e, ps, pd, mask, we, be, wo, bo, lns, lnb, interpret,
-                    residual=False):
-    b, _, hr, w, f_in = e.shape
-    h = we.shape[-1]
-    bh = _pick_bh(hr)
-    nb = hr // bh
-    grid = (b, nb)
-    full = lambda *s: pl.BlockSpec(s, lambda i, j: tuple(0 for _ in s))  # noqa: E731
-    row = lambda i, j: (i, 0, j, 0, 0)  # noqa: E731
-    row3 = lambda i, j: (i, j, 0, 0)  # noqa: E731
-    prev3 = lambda i, j: (i, jnp.maximum(j - 1, 0), 0, 0)  # noqa: E731
-    next3 = lambda i, j: (i, jnp.minimum(j + 1, nb - 1), 0, 0)  # noqa: E731
-    we2, be2, wo2, bo2, lns2, lnb2, msel, mbc = _pack_params(
-        we, be, wo, bo, lns, lnb
-    )
-    out_shapes = (
-        jax.ShapeDtypeStruct((b, 8, hr, w, h), e.dtype),
-        jax.ShapeDtypeStruct((b, hr, w, h), e.dtype),
-    )
-    return pl.pallas_call(
-        functools.partial(_fwd_kernel_shift, residual=residual),
-        grid=grid,
-        in_specs=[
-            pl.BlockSpec((1, 8, bh, w, f_in), row),       # e
-            pl.BlockSpec((1, bh, w, h), prev3),           # ps band j-1
-            pl.BlockSpec((1, bh, w, h), row3),            # ps band j
-            pl.BlockSpec((1, bh, w, h), next3),           # ps band j+1
-            pl.BlockSpec((1, bh, w, h), row3),            # pd
-            pl.BlockSpec((8, bh, w, 1), lambda i, j: (0, j, 0, 0)),
-            full(2 * f_in, 2 * h), full(2 * h),
-            full(2 * h, 2 * h), full(2 * h),
-            full(2 * h), full(2 * h),
-            full(2 * h, 2), full(2, 2 * h),
-        ],
-        out_specs=[
-            pl.BlockSpec((1, 8, bh, w, h), row),
-            pl.BlockSpec((1, bh, w, h), row3),
-        ],
-        out_shape=out_shapes,
-        interpret=interpret,
-    )(e, ps, ps, ps, pd, mask, we2, be2, wo2, bo2, lns2, lnb2, msel, mbc)
-
-
-def _shift_call_bwd(e, ps, pd, mask, we, be, wo, bo, lns, lnb,
-                    g_enew, g_agg, interpret, residual=False):
-    b, _, hr, w, f_in = e.shape
-    h = we.shape[-1]
-    bh = _pick_bh(hr)
-    nb = hr // bh
-    grid = (b, nb)
-    full = lambda *s: pl.BlockSpec(s, lambda i, j: tuple(0 for _ in s))  # noqa: E731
-    row = lambda i, j: (i, 0, j, 0, 0)  # noqa: E731
-    row3 = lambda i, j: (i, j, 0, 0)  # noqa: E731
-    prev3 = lambda i, j: (i, jnp.maximum(j - 1, 0), 0, 0)  # noqa: E731
-    next3 = lambda i, j: (i, jnp.minimum(j + 1, nb - 1), 0, 0)  # noqa: E731
-    we2, be2, wo2, bo2, lns2, lnb2, msel, mbc = _pack_params(
-        we, be, wo, bo, lns, lnb
-    )
-    out_shapes = (
-        jax.ShapeDtypeStruct(e.shape, e.dtype),           # de
-        jax.ShapeDtypeStruct(ps.shape, jnp.float32),      # dps center
-        jax.ShapeDtypeStruct((b, nb, w, h), jnp.float32),  # dps up spill
-        jax.ShapeDtypeStruct((b, nb, w, h), jnp.float32),  # dps down spill
-        jax.ShapeDtypeStruct(pd.shape, jnp.float32),      # dpd
-        jax.ShapeDtypeStruct((2 * f_in, 2 * h), jnp.float32),
-        jax.ShapeDtypeStruct((2 * h,), jnp.float32),
-        jax.ShapeDtypeStruct((2 * h, 2 * h), jnp.float32),
-        jax.ShapeDtypeStruct((2 * h,), jnp.float32),
-        jax.ShapeDtypeStruct((2 * h,), jnp.float32),
-        jax.ShapeDtypeStruct((2 * h,), jnp.float32),
-    )
-    (de, dpsc, dpsu, dpsd, dpd,
-     dwe2, dbe2, dwo2, dbo2, dlns2, dlnb2) = pl.pallas_call(
-        functools.partial(_bwd_kernel_shift, residual=residual),
-        grid=grid,
-        in_specs=[
-            pl.BlockSpec((1, 8, bh, w, f_in), row),   # e
-            pl.BlockSpec((1, bh, w, h), prev3),       # ps band j-1
-            pl.BlockSpec((1, bh, w, h), row3),        # ps band j
-            pl.BlockSpec((1, bh, w, h), next3),       # ps band j+1
-            pl.BlockSpec((1, bh, w, h), row3),        # pd
-            pl.BlockSpec((8, bh, w, 1), lambda i, j: (0, j, 0, 0)),
-            full(2 * f_in, 2 * h), full(2 * h, 2 * h), full(2 * h),
-            full(2 * h), full(2 * h),
-            full(2 * h, 2), full(2, 2 * h),
-            pl.BlockSpec((1, 8, bh, w, h), row),      # g_enew
-            pl.BlockSpec((1, bh, w, h), row3),        # g_agg
-        ],
-        out_specs=[
-            pl.BlockSpec((1, 8, bh, w, f_in), row),
-            pl.BlockSpec((1, bh, w, h), row3),
-            pl.BlockSpec((1, 1, w, h), lambda i, j: (i, j, 0, 0)),
-            pl.BlockSpec((1, 1, w, h), lambda i, j: (i, j, 0, 0)),
-            pl.BlockSpec((1, bh, w, h), row3),
-            full(2 * f_in, 2 * h), full(2 * h), full(2 * h, 2 * h),
-            full(2 * h), full(2 * h), full(2 * h),
-        ],
-        out_shape=out_shapes,
-        interpret=interpret,
-    )(e, ps, ps, ps, pd, mask, we2, wo2, bo2, lns2, be2, msel, mbc,
-      g_enew, g_agg)
-    # fold the halo spill rows into the neighbor bands: tile j's up row
-    # is global row j*bh - 1 (last row of band j-1); its down row is
-    # (j+1)*bh (first row of band j+1). Edge spills fall off the
-    # lattice — the zero-fill forward's gradient.
-    dps = dpsc.reshape(b, nb, bh, w, h)
-    dps = dps.at[:, :-1, -1].add(dpsu[:, 1:])
-    dps = dps.at[:, 1:, 0].add(dpsd[:, :-1])
-    dps = dps.reshape(b, hr, w, h).astype(ps.dtype)
-    return (
-        de, dps, dpd.astype(pd.dtype),
-        dwe2[:f_in, :h] + dwe2[f_in:, h:],
-        dbe2[:h] + dbe2[h:],
-        dwo2[:h, :h] + dwo2[h:, h:],
-        dbo2[:h] + dbo2[h:],
-        dlns2[:h] + dlns2[h:],
-        dlnb2[:h] + dlnb2[h:],
-    )
-
-
-@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1))
-def _fused_shift(interpret, residual, e, ps, pd, mask, we, be, wo, bo,
-                 lns, lnb):
-    return _shift_call_fwd(e, ps, pd, mask, we, be, wo, bo, lns, lnb,
-                           interpret, residual)
-
-
-def fused_stencil_shift(e, ps, pd, mask, we, be, wo, bo, lns, lnb,
-                        interpret: bool = False, residual: bool = False):
-    """(e_new, agg) with the 8 directional source shifts built INSIDE
-    the kernel from one-row-halo bands of ps — the (B, 8, H, W, h)
-    ``vs`` tensor never exists in HBM (mode 3; see module docstring).
-    ps, pd: (B, H, W, h) unshifted projections; the caller's autodiff
-    carries dps/dpd back through its own Dense layers.
-
-    residual=True folds the edge-residual update in: the first output
-    becomes ``e + e_new`` (agg still aggregates raw e_new) — saves the
-    consumer's separate read-read-write of the edge state. Requires the
-    edge feature width to equal the hidden width."""
-    if residual and e.shape[-1] != we.shape[-1]:
-        raise ValueError(
-            "residual fold requires edge features == hidden width, got "
-            f"{e.shape[-1]} vs {we.shape[-1]}"
-        )
-    return _fused_shift(bool(interpret), bool(residual), e, ps, pd, mask,
-                        we, be, wo, bo, lns, lnb)
-
-
-def _shift_vjp_fwd(interpret, residual, e, ps, pd, mask, we, be, wo, bo,
-                   lns, lnb):
-    out = _shift_call_fwd(e, ps, pd, mask, we, be, wo, bo, lns, lnb,
-                          interpret, residual)
-    return out, (e, ps, pd, mask, we, be, wo, bo, lns, lnb)
-
-
-def _shift_vjp_bwd(interpret, residual, res, g):
-    e, ps, pd, mask, we, be, wo, bo, lns, lnb = res
-    g_enew, g_agg = g
-    de, dps, dpd, dwe, dbe, dwo, dbo, dlns, dlnb = _shift_call_bwd(
-        e, ps, pd, mask, we, be, wo, bo, lns, lnb, g_enew, g_agg, interpret,
-        residual
-    )
-    return (
-        de, dps, dpd, jnp.zeros_like(mask),
-        dwe.astype(we.dtype), dbe.astype(be.dtype),
-        dwo.astype(wo.dtype), dbo.astype(bo.dtype),
-        dlns.astype(lns.dtype), dlnb.astype(lnb.dtype),
-    )
-
-
-_fused_shift.defvjp(_shift_vjp_fwd, _shift_vjp_bwd)
-
-
 # ------------------------------------------------------------- public op
 @functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2))
 def _fused(interpret, mode, residual, e, vs, pd, mask, we, be, wo, bo,
@@ -1069,9 +633,19 @@ def use_fused_stencil(hidden_layers: int) -> int:
     measurements on v5e (HiLAM 500x500, batch 1): XLA 36.7, mode 2
     36.3, mode 1 35.9 samples/s — the kernel is at parity, and the
     model sits at ~0.9 of the HBM roofline either way, so XLA's fusion
-    keeps the default. The kernels remain the scaffold for a future
-    multi-stage megakernel (stencil + bipartite hops in one VMEM
-    residency), which is where a real win over XLA would come from."""
+    keeps the default.
+
+    A "mode 3" variant (directional shifts built in-kernel from halo
+    bands, so the (B, 8, H, W, h) shifted-source tensor never touched
+    HBM) was built and exactness-tested in round 3 but REMOVED in
+    round 4: at production mesh sizes (HiLAM 500x500 -> level-0 lattice
+    125x125) its Mosaic compile never terminated (>20 min vs ~50 s for
+    modes 1/2, reproduced in rounds 3 and 4, compile-helper OOM/SIGKILL
+    at larger sizes), so it could not produce a step time where it
+    mattered — and the hop-kernel experiment (ops/hop_kernel.py)
+    already measured that pallas_call DMA-scheduling barriers eat
+    byte-level savings of this magnitude. History: commit fc3ff05 and
+    earlier hold the full implementation."""
     import os
 
     from py4cast_tpu.ops.attention import _target_platform, spatially_sharded
@@ -1079,7 +653,7 @@ def use_fused_stencil(hidden_layers: int) -> int:
     mode = os.environ.get("P4T_FUSED_STENCIL", "0")
     if (
         hidden_layers != 1
-        or mode not in ("1", "2", "3")
+        or mode not in ("1", "2")
         or _target_platform() != "tpu"
         or spatially_sharded()
     ):

@@ -11,11 +11,10 @@ import pytest
 from py4cast_tpu.ops.stencil_kernel import (
     LN_EPS,
     fused_stencil_message,
-    fused_stencil_shift,
 )
 
-#: H=12 → band height 6, TWO row bands — exercises the mode-3 halo
-#: exchange and the cross-band weight-gradient accumulation
+#: H=12 → band height 6, TWO row bands — exercises the cross-band
+#: weight-gradient accumulation
 B, H, W, HID, FIN = 2, 12, 12, 16, 16
 
 
@@ -88,106 +87,6 @@ def test_gradients_match_reference(inputs, mode):
         )
 
 
-# ---------------------------------------------------------------- mode 3
-# mode 3 takes the UNSHIFTED source projection ps and builds the eight
-# directional shifts inside the kernel from one-row-halo bands.
-
-
-@pytest.fixture(scope="module")
-def shift_inputs(inputs):
-    e, _vs, pd, mask, we, be, wo, bo, lns, lnb = inputs
-    rng = np.random.default_rng(7)
-    ps = jnp.asarray(rng.standard_normal((B, H, W, HID)).astype(np.float32))
-    return e, ps, pd, mask, we, be, wo, bo, lns, lnb
-
-
-def reference_shift(e, ps, pd, mask, we, be, wo, bo, lns, lnb):
-    from py4cast_tpu.ops.lattice_ops import DIRS8, shift2d
-
-    vs = jnp.stack([shift2d(ps, di, dj) for di, dj in DIRS8], axis=1)
-    return reference(e, vs, pd, mask, we, be, wo, bo, lns, lnb)
-
-
-def test_shift_forward_matches_reference(shift_inputs):
-    got_enew, got_agg = fused_stencil_shift(*shift_inputs, interpret=True)
-    want_enew, want_agg = reference_shift(*shift_inputs)
-    np.testing.assert_allclose(got_enew, want_enew, rtol=1e-5, atol=1e-5)
-    np.testing.assert_allclose(got_agg, want_agg, rtol=1e-5, atol=1e-5)
-
-
-def test_shift_gradients_match_reference(shift_inputs):
-    rng = np.random.default_rng(11)
-    g_enew = jnp.asarray(
-        rng.standard_normal((B, 8, H, W, HID)).astype(np.float32)
-    )
-    g_agg = jnp.asarray(rng.standard_normal((B, H, W, HID)).astype(np.float32))
-
-    def loss_fused(*args):
-        e_new, agg = fused_stencil_shift(*args, interpret=True)
-        return jnp.sum(e_new * g_enew) + jnp.sum(agg * g_agg)
-
-    def loss_ref(*args):
-        e_new, agg = reference_shift(*args)
-        return jnp.sum(e_new * g_enew) + jnp.sum(agg * g_agg)
-
-    argnums = tuple(i for i in range(10) if i != 3)  # all but mask
-    got = jax.grad(loss_fused, argnums=argnums)(*shift_inputs)
-    want = jax.grad(loss_ref, argnums=argnums)(*shift_inputs)
-    names = ("e", "ps", "pd", "we", "be", "wo", "bo", "lns", "lnb")
-    for name, g, w in zip(names, got, want):
-        np.testing.assert_allclose(
-            g, w, rtol=2e-4, atol=2e-4, err_msg=f"grad {name}"
-        )
-
-
-def test_shift_single_band(shift_inputs):
-    """bh == H (one band, no halo neighbors): clamped prev/next views
-    alias the only band and must be masked to zero."""
-    e, ps, pd, mask, we, be, wo, bo, lns, lnb = shift_inputs
-    args = (e[:, :, :4], ps[:, :4], pd[:, :4], mask[:, :4],
-            we, be, wo, bo, lns, lnb)
-    got_enew, got_agg = fused_stencil_shift(*args, interpret=True)
-    want_enew, want_agg = reference_shift(*args)
-    np.testing.assert_allclose(got_enew, want_enew, rtol=1e-5, atol=1e-5)
-    np.testing.assert_allclose(got_agg, want_agg, rtol=1e-5, atol=1e-5)
-
-
-def test_module_shift_equals_xla_path(inputs, monkeypatch):
-    """_StencilMessage with mode 3 forced ON equals the XLA branch —
-    same param tree (ps/pd Dense layers live in the caller) and outputs."""
-    from py4cast_tpu.models import graph as graph_mod
-    from py4cast_tpu.ops import stencil_kernel
-
-    v = jnp.asarray(
-        np.random.default_rng(3).standard_normal((B, H, W, HID)), jnp.float32
-    )
-    e = inputs[0]
-    mask = inputs[3]
-
-    msg = graph_mod._StencilMessage(HID, 1, "sum")
-
-    monkeypatch.setattr(stencil_kernel, "use_fused_stencil", lambda hl: 0)
-    params_xla = msg.init(jax.random.key(0), v, e, mask)
-    out_xla = msg.apply(params_xla, v, e, mask)
-
-    monkeypatch.setattr(
-        stencil_kernel, "use_fused_stencil",
-        lambda hl: 3 if hl == 1 else 0,
-    )
-    monkeypatch.setattr(
-        stencil_kernel, "fused_stencil_shift",
-        functools.partial(stencil_kernel.fused_stencil_shift, interpret=True),
-    )
-    params_fused = msg.init(jax.random.key(0), v, e, mask)
-    jax.tree.map(
-        lambda a, b: np.testing.assert_allclose(a, b, rtol=0, atol=0),
-        params_xla, params_fused,
-    )
-    out_fused = msg.apply(params_fused, v, e, mask)
-    for a, b in zip(out_xla, out_fused):
-        np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-5)
-
-
 @pytest.mark.parametrize("mode", [1, 2])
 def test_module_fused_equals_xla_path(inputs, monkeypatch, mode):
     """_StencilMessage with the kernel forced ON equals the XLA branch,
@@ -248,18 +147,12 @@ def _with_residual(ref_fn):
     return wrapped
 
 
-@pytest.mark.parametrize("mode", [1, 2, 3])
-def test_residual_forward_and_grads(inputs, shift_inputs, mode):
-    if mode == 3:
-        args = shift_inputs
-        fused = functools.partial(fused_stencil_shift, interpret=True,
-                                  residual=True)
-        ref = _with_residual(reference_shift)
-    else:
-        args = inputs
-        fused = functools.partial(fused_stencil_message, interpret=True,
-                                  mode=mode, residual=True)
-        ref = _with_residual(reference)
+@pytest.mark.parametrize("mode", [1, 2])
+def test_residual_forward_and_grads(inputs, mode):
+    args = inputs
+    fused = functools.partial(fused_stencil_message, interpret=True,
+                              mode=mode, residual=True)
+    ref = _with_residual(reference)
 
     got_eres, got_agg = fused(*args)
     want_eres, want_agg = ref(*args)
@@ -282,7 +175,7 @@ def test_residual_forward_and_grads(inputs, shift_inputs, mode):
     argnums = tuple(i for i in range(10) if i != 3)  # all but mask
     got = jax.grad(loss(fused), argnums=argnums)(*args)
     want = jax.grad(loss(ref), argnums=argnums)(*args)
-    names = ("e", "vs_or_ps", "pd", "we", "be", "wo", "bo", "lns", "lnb")
+    names = ("e", "vs", "pd", "we", "be", "wo", "bo", "lns", "lnb")
     for name, g, w in zip(names, got, want):
         np.testing.assert_allclose(
             g, w, rtol=2e-4, atol=2e-4, err_msg=f"grad {name} mode {mode}"
@@ -296,37 +189,6 @@ def test_residual_requires_matching_width(inputs):
                               lns, lnb, interpret=True, residual=True)
 
 
-def test_module_residual_shift_equals_xla_path(inputs, monkeypatch):
-    """_StencilMessage(residual=True) with mode 3 forced equals the XLA
-    branch's e + e_new — the consumers' folded form."""
-    from py4cast_tpu.models import graph as graph_mod
-    from py4cast_tpu.ops import stencil_kernel
-
-    v = jnp.asarray(
-        np.random.default_rng(5).standard_normal((B, H, W, HID)), jnp.float32
-    )
-    e = inputs[0]
-    mask = inputs[3]
-
-    msg = graph_mod._StencilMessage(HID, 1, "sum", residual=True)
-
-    monkeypatch.setattr(stencil_kernel, "use_fused_stencil", lambda hl: 0)
-    params = msg.init(jax.random.key(0), v, e, mask)
-    out_xla = msg.apply(params, v, e, mask)
-
-    monkeypatch.setattr(
-        stencil_kernel, "use_fused_stencil",
-        lambda hl: 3 if hl == 1 else 0,
-    )
-    monkeypatch.setattr(
-        stencil_kernel, "fused_stencil_shift",
-        functools.partial(stencil_kernel.fused_stencil_shift, interpret=True),
-    )
-    out_fused = msg.apply(params, v, e, mask)
-    for a, b in zip(out_xla, out_fused):
-        np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-5)
-
-
 def test_fused_gates_disable_under_spatial_sharding(monkeypatch):
     """A pallas_call is an opaque custom call to GSPMD — every fused
     kernel gate must yield the XLA path when the Trainer exports a
@@ -336,11 +198,11 @@ def test_fused_gates_disable_under_spatial_sharding(monkeypatch):
     from py4cast_tpu.ops import stencil_kernel
 
     monkeypatch.setattr(attn_mod, "_target_platform", lambda: "tpu")
-    monkeypatch.setenv("P4T_FUSED_STENCIL", "3")
+    monkeypatch.setenv("P4T_FUSED_STENCIL", "2")
     monkeypatch.setenv("P4T_FUSED_HOP", "1")
 
     monkeypatch.setenv("P4T_SPATIAL_SHARDS", "1")
-    assert stencil_kernel.use_fused_stencil(1) == 3
+    assert stencil_kernel.use_fused_stencil(1) == 2
     assert hop_kernel.use_fused_hop(1) == 2
     assert attn_mod.use_pallas_attention(64, 128)
 
