@@ -353,25 +353,21 @@ def main():
     results = {}
     for model in models:
         run_one(model, model, batch_size)
-        if not only and model == "HalfUNet":
-            # warm cache makes this ~30s; gate hard so a slow service
-            # never pushes the remaining headline models past the budget
-            run_extra(os.environ.get("BENCH_EXTRA1", "HalfUNet:8"),
-                      budget_s * 0.6)
     if not only:
-        # batch-8 programs used to fail compile with an opaque HTTP 500:
-        # the helper was hitting chip HBM OOM (25.06G needed of 15.75G
-        # at HalfUNet b16, mostly (8,128) lane-tile PADDING on the
-        # 21-feature fp32 batch args). bf16 batch args + statics folded
-        # into the forcing lanes shrank every b8 program under HBM:
-        # UNetRPP 45.8 -> 56.4 samples/s b1 -> b8; HiLAM stays FLAT
-        # (49.9 -> 47.1) because GNN edge-state traffic scales WITH
-        # batch — no weight/optimizer traffic to amortize.
-        run_extra(os.environ.get("BENCH_EXTRA2", "UNetRPP:2"),
-                  budget_s * 0.75)
-        run_extra(os.environ.get("BENCH_EXTRA3", "HiLAM:3step"),
-                  budget_s * 0.9)
-        run_extra(os.environ.get("BENCH_EXTRA4", "Poesy:members16"), budget_s)
+        # extras in baseline-importance order: the 3-step row and the
+        # member-dim row complete the reference baseline table
+        # (doc/num_steps.md:121, poesy DATA_SHAPE), batch scaling
+        # re-tells a story doc/performance.md already records. Each is
+        # gated on elapsed time so the four headline models always land
+        # within the driver's budget regardless of compile-service
+        # weather.
+        run_extra(os.environ.get("BENCH_EXTRA1", "HiLAM:3step"),
+                  budget_s * 0.7)
+        run_extra(os.environ.get("BENCH_EXTRA2", "Poesy:members16"),
+                  budget_s * 0.85)
+        run_extra(os.environ.get("BENCH_EXTRA3", "HalfUNet:8"),
+                  budget_s * 0.95)
+        run_extra(os.environ.get("BENCH_EXTRA4", "UNetRPP:2"), budget_s)
 
 
 if __name__ == "__main__":
