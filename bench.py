@@ -301,9 +301,12 @@ def main():
             r = bench_model(model, bs, n_steps, precision, mode, **kw)
         except Exception as e:  # one broken model must not kill the headline
             traceback.print_exc(file=sys.stderr)
-            grid = CONFIGS.get(model, ((0, 0),))[0]
+            # mirror the success-path metric name (grid override + suffix),
+            # so a failed extra can never shadow a succeeding headline row
+            grid = kw.get("grid_override") or CONFIGS.get(model, ((0, 0),))[0]
+            suffix = kw.get("metric_suffix") or (f"_b{bs}" if bs != 1 else "")
             r = {"metric": (f"{model.lower()}_{grid[0]}x{grid[1]}"
-                            f"_train_samples_per_sec_per_chip"),
+                            f"_train_samples_per_sec_per_chip{suffix}"),
                  "value": 0.0, "unit": "samples/s", "vs_baseline": 0.0,
                  "error": f"{type(e).__name__}: {e}"[:300]}
         results[key] = r

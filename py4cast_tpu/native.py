@@ -10,6 +10,7 @@ preallocated numpy buffer — the input hot path of Titan-style datasets
 from __future__ import annotations
 
 import ctypes
+import os
 import subprocess
 import threading
 import warnings
@@ -98,6 +99,12 @@ def _load() -> Optional[ctypes.CDLL]:
                 tmp.close()
                 shutil.copy(_LIB_PATH, tmp.name)
                 lib = _bind(Path(tmp.name))
+                # dlopen holds the mapping; unlink so the copy doesn't
+                # accumulate in /tmp across rebuild-triggering processes
+                try:
+                    os.unlink(tmp.name)
+                except OSError:
+                    pass
             _lib = lib
         except (OSError, AttributeError, _StaleABI) as e:
             warnings.warn(f"native I/O core failed to load: {e}")

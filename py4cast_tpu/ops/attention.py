@@ -203,8 +203,24 @@ def spatially_sharded() -> bool:
 
     env = os.environ.get("P4T_SPATIAL_SHARDS")
     if env:
+        # the env var is a MANUAL override that wins over the module's
+        # real mesh extent for the whole process — a leftover export
+        # would silently force the wrong kernel path, so say so once
+        global _ENV_OVERRIDE_WARNED
+        if not _ENV_OVERRIDE_WARNED and int(env) != _SPATIAL_SHARDS:
+            _ENV_OVERRIDE_WARNED = True
+            import warnings
+
+            warnings.warn(
+                f"P4T_SPATIAL_SHARDS={env} overrides the active module's "
+                f"mesh extent ({_SPATIAL_SHARDS}) for Pallas kernel "
+                "gating; unset it unless this is intentional."
+            )
         return int(env) > 1
     return _SPATIAL_SHARDS > 1
+
+
+_ENV_OVERRIDE_WARNED = False
 
 
 def use_pallas_attention(lk: int, head_dim: int = 128) -> bool:

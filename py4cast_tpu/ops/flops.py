@@ -25,7 +25,6 @@ import math
 from typing import Callable
 
 import jax
-import numpy as np
 
 
 def _dot_general_flops(eqn) -> float:
@@ -46,14 +45,12 @@ def _conv_flops(eqn) -> float:
     rhs = eqn.invars[1].aval  # kernel
     out = eqn.outvars[0].aval
     dn = eqn.params["dimension_numbers"]
-    groups = eqn.params.get("feature_group_count", 1)
     out_spatial = math.prod(out.shape[d] for d in dn.out_spec[2:])
     batch = out.shape[dn.out_spec[0]]
     out_ch = out.shape[dn.out_spec[1]]
     kernel_spatial = math.prod(rhs.shape[d] for d in dn.rhs_spec[2:])
     # the kernel's input-channel dim is already per-group
     in_ch_per_group = rhs.shape[dn.rhs_spec[1]]
-    del groups
     return 2.0 * batch * out_spatial * out_ch * kernel_spatial * in_ch_per_group
 
 
@@ -99,9 +96,3 @@ def step_flops(fn: Callable, *args, **kwargs) -> float:
     """FLOPs of one call of ``fn(*args)`` — traced, never executed."""
     closed = jax.make_jaxpr(fn, **kwargs)(*args)
     return jaxpr_flops(closed)
-
-
-def fn_flops_per_example(fn: Callable, *args) -> float:
-    out = step_flops(fn, *args)
-    lead = np.shape(jax.tree_util.tree_leaves(args)[0])
-    return out / (lead[0] if lead else 1)

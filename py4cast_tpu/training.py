@@ -493,16 +493,18 @@ class AutoRegressiveModule:
 
     # ------------------------------------------------------------------ steps
     def _get_jitted(self, kind: str, num_pred_steps: int):
-        key = (kind, num_pred_steps)
-        if key in self._jit_cache:
-            return self._jit_cache[key]
-        # (re)assert THIS module's spatial-shard gate before tracing: the
-        # Pallas kernel gates consult module-level state at trace time,
-        # and another module with a different mesh may have traced since
-        # our constructor ran (ADVICE r3)
+        # (re)assert THIS module's spatial-shard gate on EVERY step call,
+        # not just wrapper creation: the Pallas kernel gates consult
+        # module-level state at trace time, and jax.jit RETRACES a cached
+        # wrapper whenever input shapes change — so a second module with
+        # a different mesh constructed in between would otherwise leak
+        # its gate value into our retrace (ADVICE r3; r4 review)
         from py4cast_tpu.ops.attention import set_spatial_shards
 
         set_spatial_shards(self._spatial_shards)
+        key = (kind, num_pred_steps)
+        if key in self._jit_cache:
+            return self._jit_cache[key]
 
         if kind == "train":
 

@@ -1,6 +1,8 @@
 """Native I/O core: build, parallel-read equivalence with numpy, and
 graceful fallback on malformed files."""
 
+from pathlib import Path
+
 import numpy as np
 import pytest
 
@@ -67,8 +69,9 @@ def test_stale_abi_rebuilds_not_crashes(tmp_path, monkeypatch):
 
     d = tmp_path / "native"
     d.mkdir()
-    shutil.copy("/root/repo/native/p4t_io.cpp", d / "p4t_io.cpp")
-    shutil.copy("/root/repo/native/Makefile", d / "Makefile")
+    repo = Path(__file__).resolve().parents[1]
+    shutil.copy(repo / "native" / "p4t_io.cpp", d / "p4t_io.cpp")
+    shutil.copy(repo / "native" / "Makefile", d / "Makefile")
     stub = d / "stub.cpp"
     stub.write_text('extern "C" int p4t_version() { return 2; }\n')
     subprocess.run(
