@@ -1307,16 +1307,34 @@ class _GraphModelBase(ModelBase):
         )
         return jnp.broadcast_to(e[None], (b,) + e.shape)
 
+    @staticmethod
+    def _hop_kls():
+        """The encode/decode hop module, optionally rematerialized.
+
+        P4T_REMAT_HOPS=1 wraps the hop in nn.remat: the hops sit OUTSIDE
+        the (already remat'd) processor scan, and the HLO byte ranking
+        shows their LayerNorm/silu residuals are the largest buffers of
+        a GNN step (dozens of f32 grid-sized (4, B, H, W, h) saves for
+        the m2g corners — bin/hlo_breakdown.py). Recomputing the hop
+        tail in backward trades those saves for one extra read of the
+        (bf16) node states. Param trees are unchanged (remat is
+        transparent to naming)."""
+        import os
+
+        if os.environ.get("P4T_REMAT_HOPS") == "1":
+            return nn.remat(LatticeEncodeDecode, prevent_cse=False)
+        return LatticeEncodeDecode
+
     def _lattice_g2m(self, garr, grid_v, mesh_v0):
         s = self.settings
-        return LatticeEncodeDecode(
+        return self._hop_kls()(
             s.hidden_dims, s.hidden_layers, s.mesh_aggr, kind="nearest",
             name="g2m",
         )(grid_v, mesh_v0, _lat_dict(garr, "g2m"))
 
     def _lattice_m2g(self, garr, mesh_v0, grid_v):
         s = self.settings
-        return LatticeEncodeDecode(
+        return self._hop_kls()(
             s.hidden_dims, s.hidden_layers, s.mesh_aggr, kind="corners",
             name="m2g",
         )(mesh_v0, grid_v, _lat_dict(garr, "m2g"))

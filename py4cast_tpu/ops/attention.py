@@ -224,12 +224,25 @@ _ENV_OVERRIDE_WARNED = False
 
 
 def use_pallas_attention(lk: int, head_dim: int = 128) -> bool:
-    """Pallas path: TPU backend, K/V small enough to sit in VMEM, and a
-    head dim wide enough to feed the MXU lanes (tiny head dims pad to
-    128 lanes in VMEM and measure SLOWER than XLA's batched attention —
-    UNETR++ EPA with head_dim 16: 23 vs 32 samples/s)."""
+    """Pallas path: OPT-IN via P4T_FUSED_ATTENTION=1 (default off), on
+    TPU, K/V small enough to sit in VMEM, head dim wide enough to feed
+    the MXU lanes.
+
+    Off by default since round 4: the kernel now measures SLOWER than
+    XLA's attention on every model that reaches it — full train step,
+    batch 1, v5e, same-session A/B via the gate: Segformer 65.9 (on) vs
+    88.9 (off) samples/s, UNETR++ hidden-1024 17.7 vs 22.7. The round-1
+    measurement that motivated it (Segformer fwd+bwd −28% at batch 4)
+    no longer reproduces — current XLA fuses the spatially-reduced-K/V
+    attention into the surrounding matmuls and never materializes
+    HBM-sized logits (kernel-off roofline fractions 1.14-1.28 = fusion
+    removing round-trips). Earlier data point kept for the head-dim
+    bound: UNETR++ EPA with head_dim 16 measured 23 vs 32 samples/s."""
+    import os
+
     return (
-        _target_platform() == "tpu"
+        os.environ.get("P4T_FUSED_ATTENTION") == "1"
+        and _target_platform() == "tpu"
         and lk <= MAX_KV_VMEM_TOKENS
         and head_dim >= 32
         and not spatially_sharded()

@@ -200,6 +200,7 @@ def test_fused_gates_disable_under_spatial_sharding(monkeypatch):
     monkeypatch.setattr(attn_mod, "_target_platform", lambda: "tpu")
     monkeypatch.setenv("P4T_FUSED_STENCIL", "2")
     monkeypatch.setenv("P4T_FUSED_HOP", "1")
+    monkeypatch.setenv("P4T_FUSED_ATTENTION", "1")
 
     monkeypatch.setenv("P4T_SPATIAL_SHARDS", "1")
     assert stencil_kernel.use_fused_stencil(1) == 2
