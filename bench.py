@@ -80,6 +80,31 @@ CONFIGS = {
                              "linear_upsampling": True}),
 }
 
+#: rest of the zoo at their config/CLI/model/*.yaml settings — NOT part
+#: of the default run (which must fit the driver's bench budget); used
+#: when BENCH_MODEL names one of them, for the zoo-wide table in
+#: doc/performance.md
+ZOO_CONFIGS = {
+    "UNet": ((512, 640), {"init_features": 64}),
+    "CustomUNet": ((512, 640), {"encoder_name": "resnet18",
+                                "encoder_depth": 5}),
+    "HiLAMParallel": ((500, 500), {"hidden_dims": 64,
+                                   "processor_layers": 4,
+                                   "mesh_levels": 3}),
+    "Segformer": ((512, 640), {"num_layers": 2, "decoder_dim": 256,
+                               "num_downsampling_chans": 32}),
+    "SwinUNetR": ((512, 640), {"depths": (2, 2, 2, 2),
+                               "num_heads": (3, 6, 12, 24),
+                               "feature_size": 24}),
+    "DeepLabV3": ((512, 640), {"encoder_name": "resnet18",
+                               "encoder_depth": 5,
+                               "decoder_channels": 256, "upsampling": 8}),
+    "DeepLabV3Plus": ((512, 640), {"encoder_name": "resnet18",
+                                   "encoder_depth": 5,
+                                   "decoder_channels": 256,
+                                   "upsampling": 8}),
+}
+
 
 def _peak(table, default):
     import jax
@@ -120,7 +145,9 @@ def bench_model(model: str, batch_size: int, n_steps: int, precision: str,
         print(f"#   [{model} {time.perf_counter() - t_model:6.1f}s] {label}",
               file=sys.stderr, flush=True)
 
-    grid, init_args = CONFIGS.get(model, ((512, 640), {}))
+    grid, init_args = CONFIGS.get(
+        model, ZOO_CONFIGS.get(model, ((512, 640), {}))
+    )
     if grid_override is not None:
         grid = grid_override
     if os.environ.get("BENCH_GRID"):  # debug/smoke override
@@ -303,7 +330,8 @@ def main():
             traceback.print_exc(file=sys.stderr)
             # mirror the success-path metric name (grid override + suffix),
             # so a failed extra can never shadow a succeeding headline row
-            grid = kw.get("grid_override") or CONFIGS.get(model, ((0, 0),))[0]
+            grid = (kw.get("grid_override")
+                    or CONFIGS.get(model, ZOO_CONFIGS.get(model, ((0, 0),)))[0])
             suffix = kw.get("metric_suffix") or (f"_b{bs}" if bs != 1 else "")
             r = {"metric": (f"{model.lower()}_{grid[0]}x{grid[1]}"
                             f"_train_samples_per_sec_per_chip{suffix}"),
