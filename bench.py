@@ -221,10 +221,17 @@ def bench_model(model: str, batch_size: int, n_steps: int, precision: str,
         ca = run.cost_analysis()
         state2, loss = run(state, inputs, forcing, outputs, rng, buffers)
         float(loss)  # warm the data path; value transfer forces execution
-        t0 = time.perf_counter()
-        state2, loss = run(state, inputs, forcing, outputs, rng, buffers)
-        total = float(loss)
-        dt = time.perf_counter() - t0
+        # best-of-2: the timed quantity is ONE dispatch + value transfer
+        # through the TPU tunnel, so a single RTT hiccup (observed:
+        # GraphLAM 31.5 vs 64 samples/s on back-to-back runs) pollutes
+        # the device rate; the min of two dispatches rejects it
+        dts = []
+        for _ in range(2):
+            t0 = time.perf_counter()
+            state2, loss = run(state, inputs, forcing, outputs, rng, buffers)
+            total = float(loss)
+            dts.append(time.perf_counter() - t0)
+        dt = min(dts)
         assert total == total, "loss is NaN"
         phase("timed runs done")
     else:
@@ -365,20 +372,32 @@ def main():
                                 metric_suffix="_poesy_members16"),
     }
 
-    def run_extra(spec, gate_s):
-        """Extra measurement (batch scaling / 3-step / ensemble), gated on
-        elapsed time so the four headline models always land regardless
-        of remote-compile service weather."""
-        if time.perf_counter() - t_start > gate_s:
-            print(f"# skipping {spec}: over {gate_s:.0f}s gate",
+    def run_extra(spec, cost_s):
+        """Extra measurement (batch scaling / 3-step / ensemble), gated
+        on REMAINING budget vs the extra's expected wall cost — so a
+        one-off tunnel/cold-cache stall in the headline models (a
+        measured 4-minute state-init hiccup) drops the LEAST important
+        trailing extras, never the baseline-completing ones that run
+        first."""
+        remaining = budget_s - (time.perf_counter() - t_start)
+        if remaining < cost_s:
+            print(f"# skipping {spec}: needs ~{cost_s:.0f}s, "
+                  f"{remaining:.0f}s of budget left",
                   file=sys.stderr, flush=True)
             return
         if spec in EXTRA_SPECS:
             kw = dict(EXTRA_SPECS[spec])
             run_one(kw.pop("model"), spec, kw.pop("bs"), **kw)
         else:
-            name, bs = spec.split(":")
-            run_one(name, f"{name}@b{bs}", int(bs))
+            try:
+                name, bs_s = spec.split(":")
+                bs = int(bs_s)
+            except ValueError:
+                # a typo'd BENCH_EXTRA must not kill the remaining rows
+                print(f"# skipping {spec}: not a known extra and not "
+                      f"'<Model>:<batch>'", file=sys.stderr, flush=True)
+                return
+            run_one(name, f"{name}@b{bs}", bs)
 
     models = [only] if only else list(CONFIGS)
     results = {}
@@ -388,17 +407,13 @@ def main():
         # extras in baseline-importance order: the 3-step row and the
         # member-dim row complete the reference baseline table
         # (doc/num_steps.md:121, poesy DATA_SHAPE), batch scaling
-        # re-tells a story doc/performance.md already records. Each is
-        # gated on elapsed time so the four headline models always land
-        # within the driver's budget regardless of compile-service
-        # weather.
-        run_extra(os.environ.get("BENCH_EXTRA1", "HiLAM:3step"),
-                  budget_s * 0.7)
-        run_extra(os.environ.get("BENCH_EXTRA2", "Poesy:members16"),
-                  budget_s * 0.85)
-        run_extra(os.environ.get("BENCH_EXTRA3", "HalfUNet:8"),
-                  budget_s * 0.95)
-        run_extra(os.environ.get("BENCH_EXTRA4", "UNetRPP:2"), budget_s)
+        # re-tells a story doc/performance.md already records. The cost
+        # estimates are measured warm-cache walls (err-log phase lines)
+        # with ~30% headroom.
+        run_extra(os.environ.get("BENCH_EXTRA1", "HiLAM:3step"), 80)
+        run_extra(os.environ.get("BENCH_EXTRA2", "Poesy:members16"), 50)
+        run_extra(os.environ.get("BENCH_EXTRA3", "HalfUNet:8"), 30)
+        run_extra(os.environ.get("BENCH_EXTRA4", "UNetRPP:2"), 90)
 
 
 if __name__ == "__main__":

@@ -206,9 +206,10 @@ def spatially_sharded() -> bool:
         # the env var is a MANUAL override that wins over the module's
         # real mesh extent for the whole process — a leftover export
         # would silently force the wrong kernel path, so say so once
-        global _ENV_OVERRIDE_WARNED
-        if not _ENV_OVERRIDE_WARNED and int(env) != _SPATIAL_SHARDS:
-            _ENV_OVERRIDE_WARNED = True
+        # per distinct (override, actual-extent) mismatch
+        key = (env, _SPATIAL_SHARDS)
+        if key not in _ENV_OVERRIDE_WARNED and int(env) != _SPATIAL_SHARDS:
+            _ENV_OVERRIDE_WARNED.add(key)
             import warnings
 
             warnings.warn(
@@ -220,7 +221,7 @@ def spatially_sharded() -> bool:
     return _SPATIAL_SHARDS > 1
 
 
-_ENV_OVERRIDE_WARNED = False
+_ENV_OVERRIDE_WARNED: set = set()
 
 
 def use_pallas_attention(lk: int, head_dim: int = 128) -> bool:

@@ -651,6 +651,15 @@ def use_fused_stencil(hidden_layers: int) -> int:
     from py4cast_tpu.ops.attention import _target_platform, spatially_sharded
 
     mode = os.environ.get("P4T_FUSED_STENCIL", "0")
+    if mode not in ("0", "1", "2"):
+        # mode 3 existed through round 3; a stale export must not
+        # silently measure the plain-XLA path as "fused"
+        import warnings
+
+        warnings.warn(
+            f"P4T_FUSED_STENCIL={mode} is not a valid mode (3 was "
+            "removed; see doc/performance.md) — falling back to XLA."
+        )
     if (
         hidden_layers != 1
         or mode not in ("1", "2")

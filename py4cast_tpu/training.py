@@ -1006,7 +1006,6 @@ class Trainer:
                             metric_states[k] = m.update(
                                 metric_states[k], pred_na.array, target_na.array, mask
                             )
-                vlosses = vrows
                 val_loss = (
                     float(np.concatenate(vrows, axis=0).mean())
                     if vrows
@@ -1014,7 +1013,7 @@ class Trainer:
                 )
                 self._log("val_mean_loss", val_loss, global_step)
                 self._log("mean_loss_epoch/validation", val_loss, global_step)
-                if do_plots and vlosses:
+                if do_plots and vrows:
                     # (reference: on_validation_epoch_end, lightning.py:944-989)
                     for p in plotters:
                         p.on_step_end(module, label="Valid")

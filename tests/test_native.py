@@ -57,6 +57,7 @@ def test_native_is_at_least_as_fast(npy_files):
     # allow generous slack — this guards against pathological regressions only
     assert t_native < t_numpy * 3
 
+
 def test_stale_abi_rebuilds_not_crashes(tmp_path, monkeypatch):
     """ADVICE r3 (medium): a stale .so from an older ABI — possibly
     missing today's symbols entirely — must take the rebuild path, not
