@@ -25,16 +25,44 @@ DTYPE_BYTES = {
 SHAPE_RE = re.compile(r"(\w+)\[([\d,]*)\]")
 
 
-def shape_bytes(text: str) -> int:
+def _ceil_to(n: int, m: int) -> int:
+    return -(-n // m) * m
+
+
+def shape_bytes(text: str, padded: bool = False) -> int:
+    """Sum result bytes of every shape in an HLO line.
+
+    padded=True models the TPU memory tiling: the minor dim is padded to
+    128 lanes and the second-minor to a (32 // dtype_bytes)-row sublane
+    tile (8 rows of 32-bit words; narrower dtypes pack more rows per
+    tile). Logical bytes (default) match XLA's cost estimate; the padded
+    figure is what actually occupies/streams HBM for that layout, so the
+    ratio exposes small-channel models (C«128) whose real traffic the
+    logical estimate undercounts.
+    """
     total = 0
     for dt, dims in SHAPE_RE.findall(text):
         if dt not in DTYPE_BYTES:
             continue
+        bpe = DTYPE_BYTES[dt]
+        ds = [int(d) for d in dims.split(",") if d]
+        if not padded or not ds:
+            n = 1
+            for d in ds:
+                n *= d
+            total += n * bpe
+            continue
+        sub = 32 // min(bpe, 4)  # sublane tile height: f32 8, bf16 16, s8 32
+        pd = list(ds)
+        pd[-1] = _ceil_to(pd[-1], 128)
+        if len(pd) >= 2:
+            pd[-2] = _ceil_to(pd[-2], sub)
+        else:
+            pd[-1] = _ceil_to(pd[-1], 128 * sub)
         n = 1
-        for d in dims.split(","):
-            if d:
-                n *= int(d)
-        total += n * DTYPE_BYTES[dt]
+        for d in pd:
+            n *= d
+        total += n * bpe
     return total
 
 
@@ -49,19 +77,29 @@ def main():
     from py4cast_tpu.training import AutoRegressiveModule, TrainingSettings
 
     model = sys.argv[1] if len(sys.argv) > 1 else "HiLAM"
-    grid = tuple(
-        int(v) for v in (sys.argv[2] if len(sys.argv) > 2 else "500x500").split("x")
+    # model settings come from the bench config tables (the reference
+    # yaml configs) so the breakdown attributes the SAME program the
+    # bench times; GNNs keep the historical layers CLI override.
+    import bench
+
+    default_grid, init_args = bench.CONFIGS.get(
+        model, bench.ZOO_CONFIGS.get(model, ((512, 640), {}))
     )
-    layers = int(sys.argv[3]) if len(sys.argv) > 3 else 4
+    init_args = dict(init_args)
+    grid = (
+        tuple(int(v) for v in sys.argv[2].split("x"))
+        if len(sys.argv) > 2
+        else tuple(default_grid)
+    )
+    if len(sys.argv) > 3 and "processor_layers" in init_args:
+        init_args["processor_layers"] = int(sys.argv[3])
 
     info = synthetic_dataset_info(
         grid_shape=grid, weather_features=21, forcing_features=21
     )
     settings = TrainingSettings(
         model_name=model,
-        settings_init_args={
-            "hidden_dims": 64, "processor_layers": layers, "mesh_levels": 3,
-        },
+        settings_init_args=init_args,
         training_strategy="scaled_ar",
         num_input_steps=2,
         precision="bf16",
@@ -89,12 +127,13 @@ def main():
         .compile()
     )
     hlo = compiled.as_text()
-    out_path = f"/tmp/hlo_{model.lower()}_{grid[0]}x{grid[1]}_L{layers}.txt"
+    out_path = f"/tmp/hlo_{model.lower()}_{grid[0]}x{grid[1]}.txt"
     Path(out_path).write_text(hlo)
     print(f"# optimized HLO -> {out_path} ({len(hlo) / 1e6:.1f} MB)")
 
     # rank instructions by result bytes; group by opcode
     by_op = defaultdict(lambda: [0, 0])  # opcode -> [bytes, count]
+    by_pad = defaultdict(int)  # opcode -> lane-padded bytes
     insts = []
     # which computations are while-loop bodies (scan) — their ops run
     # per-iteration but appear once; flag them
@@ -110,18 +149,24 @@ def main():
                       "bitcast"):
             continue
         b = shape_bytes(shape_txt)
+        bp = shape_bytes(shape_txt, padded=True)
         by_op[opcode][0] += b
         by_op[opcode][1] += 1
-        if b > 8e6:
-            insts.append((b, opcode, name, line.strip()[:160]))
+        by_pad[opcode] += bp
+        if b > 8e6 or bp > 24e6:
+            insts.append((bp, b, opcode, name, line.strip()[:160]))
 
-    print("\n== result bytes by opcode ==")
-    for op, (b, c) in sorted(by_op.items(), key=lambda kv: -kv[1][0])[:15]:
-        print(f"{op:<22} {b / 1e9:8.3f} GB  ({c} ops)")
+    print("\n== result bytes by opcode (logical | lane-padded) ==")
+    tot_b = sum(v[0] for v in by_op.values())
+    tot_p = sum(by_pad.values())
+    for op, (b, c) in sorted(by_op.items(), key=lambda kv: -by_pad[kv[0]])[:15]:
+        print(f"{op:<22} {b / 1e9:8.3f} | {by_pad[op] / 1e9:8.3f} GB  ({c} ops)")
+    print(f"{'TOTAL':<22} {tot_b / 1e9:8.3f} | {tot_p / 1e9:8.3f} GB "
+          f"(padding x{tot_p / max(tot_b, 1):.2f})")
 
-    print("\n== biggest instructions (>8 MB result) ==")
-    for b, opcode, name, line in sorted(insts, reverse=True)[:40]:
-        print(f"{b / 1e6:9.1f} MB  {line}")
+    print("\n== biggest instructions (by padded result bytes) ==")
+    for bp, b, opcode, name, line in sorted(insts, reverse=True)[:40]:
+        print(f"{b / 1e6:9.1f} | {bp / 1e6:9.1f} MB  {line}")
 
 
 if __name__ == "__main__":
