@@ -22,7 +22,7 @@ DTYPE_BYTES = {
     "f64": 8, "f32": 4, "bf16": 2, "f16": 2, "s64": 8, "u64": 8,
     "s32": 4, "u32": 4, "s16": 2, "u16": 2, "s8": 1, "u8": 1, "pred": 1,
 }
-SHAPE_RE = re.compile(r"(\w+)\[([\d,]*)\]")
+SHAPE_RE = re.compile(r"(\w+)\[([\d,]*)\](?:\{([\d,]+)(?::T\((\d+),(\d+)\))?[:})]?)?")
 
 
 def _ceil_to(n: int, m: int) -> int:
@@ -32,16 +32,17 @@ def _ceil_to(n: int, m: int) -> int:
 def shape_bytes(text: str, padded: bool = False) -> int:
     """Sum result bytes of every shape in an HLO line.
 
-    padded=True models the TPU memory tiling: the minor dim is padded to
-    128 lanes and the second-minor to a (32 // dtype_bytes)-row sublane
-    tile (8 rows of 32-bit words; narrower dtypes pack more rows per
-    tile). Logical bytes (default) match XLA's cost estimate; the padded
-    figure is what actually occupies/streams HBM for that layout, so the
-    ratio exposes small-channel models (C«128) whose real traffic the
-    logical estimate undercounts.
+    padded=True models the TPU memory tiling: the physically-minor dim
+    (taken from the HLO layout permutation ``{2,3,1,0:T(8,128)...}``
+    when present — XLA's layout assignment routinely picks a non-default
+    minor dim to dodge small-dim padding) is padded to 128 lanes and the
+    second-minor to a (32 // dtype_bytes)-row sublane tile. Logical
+    bytes (default) match XLA's cost estimate; the padded figure is what
+    actually occupies/streams HBM for that layout, so the ratio exposes
+    tensors whose real traffic the logical estimate undercounts.
     """
     total = 0
-    for dt, dims in SHAPE_RE.findall(text):
+    for dt, dims, perm, tsub, tlane in SHAPE_RE.findall(text):
         if dt not in DTYPE_BYTES:
             continue
         bpe = DTYPE_BYTES[dt]
@@ -52,13 +53,25 @@ def shape_bytes(text: str, padded: bool = False) -> int:
                 n *= d
             total += n * bpe
             continue
-        sub = 32 // min(bpe, 4)  # sublane tile height: f32 8, bf16 16, s8 32
+        # tile from the layout when printed (e.g. T(2,128)); default to
+        # the packed-dtype tile (f32 (8,128), bf16 (16,128), s8 (32,128))
+        lane = int(tlane) if tlane else 128
+        sub = int(tsub) if tsub else 32 // min(bpe, 4)
+        if tsub and bpe < 4:
+            sub *= 4 // bpe  # T(8,128)(2,1) packs 2 bf16 rows per word row
+        order = (
+            [int(p) for p in perm.split(",")]
+            if perm
+            else list(range(len(ds) - 1, -1, -1))
+        )
         pd = list(ds)
-        pd[-1] = _ceil_to(pd[-1], 128)
-        if len(pd) >= 2:
-            pd[-2] = _ceil_to(pd[-2], sub)
-        else:
-            pd[-1] = _ceil_to(pd[-1], 128 * sub)
+        if len(order) == len(ds) and sorted(order) == list(range(len(ds))):
+            minor = order[0]
+            pd[minor] = _ceil_to(pd[minor], lane)
+            if len(order) >= 2:
+                pd[order[1]] = _ceil_to(pd[order[1]], sub)
+            else:
+                pd[minor] = _ceil_to(pd[minor], lane * sub)
         n = 1
         for d in pd:
             n *= d
@@ -67,6 +80,13 @@ def shape_bytes(text: str, padded: bool = False) -> int:
 
 
 def main():
+    if len(sys.argv) > 1 and sys.argv[1].endswith(".txt"):
+        # offline mode: re-rank an already-dumped HLO text (from a prior
+        # run of this tool) without re-lowering — lowering a train step
+        # takes minutes on this 1-core host
+        analyze(Path(sys.argv[1]).read_text())
+        return
+
     import jax
 
     from py4cast_tpu.parallel.mesh import MeshConfig, make_mesh
@@ -130,7 +150,10 @@ def main():
     out_path = f"/tmp/hlo_{model.lower()}_{grid[0]}x{grid[1]}.txt"
     Path(out_path).write_text(hlo)
     print(f"# optimized HLO -> {out_path} ({len(hlo) / 1e6:.1f} MB)")
+    analyze(hlo)
 
+
+def analyze(hlo: str):
     # rank instructions by result bytes; group by opcode
     by_op = defaultdict(lambda: [0, 0])  # opcode -> [bytes, count]
     by_pad = defaultdict(int)  # opcode -> lane-padded bytes

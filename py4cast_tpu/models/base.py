@@ -25,6 +25,7 @@ from enum import Enum
 from typing import Any, Callable, Optional, Tuple
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 
 
@@ -110,6 +111,57 @@ def pad_to_multiple(x: jnp.ndarray, multiple: int) -> Tuple[jnp.ndarray, Tuple[i
 
 def crop_to(x: jnp.ndarray, hw: Tuple[int, int]) -> jnp.ndarray:
     return x[:, : hw[0], : hw[1], :]
+
+
+def norm_layer(name: str, features: int) -> nn.Module:
+    """Map the reference's ``norm_name`` setting onto a stateless norm.
+
+    The reference zoo (mfai/monai blocks) accepts instance/batch/group/
+    layer norms; on TPU only the stateless ones make sense (BatchNorm
+    carries mutable batch statistics through jit and needs cross-device
+    stat syncing — see the module docstring). InstanceNorm IS GroupNorm
+    with one group per channel; LayerNorm-over-channels is GroupNorm
+    with a single group.
+    """
+    if name in ("instance", "INSTANCE"):
+        return nn.GroupNorm(num_groups=features)
+    if name in ("layer", "LAYER"):
+        return nn.GroupNorm(num_groups=1)
+    if name in ("group", "GROUP"):
+        groups = 8
+        while groups > 1 and features % groups != 0:
+            groups //= 2
+        return nn.GroupNorm(num_groups=groups)
+    if name in ("batch", "BATCH"):
+        raise ValueError(
+            "norm_name 'batch' is unsupported on TPU by design: BatchNorm "
+            "carries mutable running statistics through jit and requires "
+            "cross-device stat synchronization. Use 'instance', 'group' "
+            "or 'layer' (the reference's own default here is 'instance')."
+        )
+    raise ValueError(
+        f"Unknown norm_name {name!r}; accepted: instance | group | layer"
+    )
+
+
+class DropPath(nn.Module):
+    """Stochastic depth: drop a residual branch per SAMPLE with
+    probability ``rate`` during training, identity at eval (standard
+    swin/timm semantics — survivors are rescaled by 1/keep so the
+    expectation matches)."""
+
+    rate: float
+
+    @nn.compact
+    def __call__(self, x, deterministic: bool = True):
+        if self.rate == 0.0 or deterministic:
+            return x
+        keep = 1.0 - self.rate
+        rng = self.make_rng("dropout")
+        mask = jax.random.bernoulli(
+            rng, keep, (x.shape[0],) + (1,) * (x.ndim - 1)
+        )
+        return jnp.where(mask, x / keep, 0.0).astype(x.dtype)
 
 
 ACTIVATIONS: dict = {

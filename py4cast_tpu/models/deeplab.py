@@ -38,6 +38,18 @@ class DeepLabSettings:
     aux_params: Optional[dict] = None
     atrous_rates: Tuple[int, ...] = (12, 24, 36)
 
+    def __post_init__(self):
+        if self.aux_params is not None:
+            # the reference accepts smp's auxiliary classification-head
+            # config but never uses it (aux_params: null in every yaml);
+            # a classification head has no meaning for field regression,
+            # so reject loudly instead of silently ignoring it
+            raise ValueError(
+                "aux_params (an auxiliary classification head) is not "
+                "supported: this framework predicts weather fields, not "
+                "classes. Remove aux_params from the model settings."
+            )
+
 
 class ASPP(nn.Module):
     """Atrous spatial pyramid pooling."""

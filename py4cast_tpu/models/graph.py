@@ -48,6 +48,17 @@ class GraphModelSettings:
     #: between the two paths (tested), so checkpoints interchange.
     use_lattice: bool = True
 
+    def __post_init__(self):
+        if self.offload_to_cpu:
+            import warnings
+
+            warnings.warn(
+                "offload_to_cpu is a torch-CUDA memory lever the TPU "
+                "build does not need: use use_checkpointing (remat) to "
+                "cut activation residency. The flag is accepted for "
+                "config parity but has no effect."
+            )
+
 
 class EdgeSet:
     """Static edge set: src/dst indices + static edge features."""

@@ -2,9 +2,14 @@
 
 TPU-native Flax implementation with the reference settings surface
 (reference config: config/CLI/model/swinunetr.yaml — depths/num_heads/
-feature_size/drop rates/normalize/downsample). Windowed attention is
-laid out as batched (windows × tokens) matmuls for the MXU; the shifted-
-window mask is a trace-time constant (static shapes), so XLA folds it.
+feature_size/drop rates/normalize/downsample), and the whole surface is
+HONORED: drop_rate/attn_drop_rate feed nn.Dropout, dropout_path_rate
+drives per-block stochastic depth on the timm linear schedule, use_v2
+adds the per-stage residual conv block, and norm_name maps onto the
+stateless TPU norms (instance = per-channel GroupNorm; batch rejected
+at config time). Windowed attention is laid out as batched
+(windows × tokens) matmuls for the MXU; the shifted-window mask is a
+trace-time constant (static shapes), so XLA folds it.
 """
 
 from __future__ import annotations
@@ -16,8 +21,14 @@ import flax.linen as nn
 import jax.numpy as jnp
 import numpy as np
 
-from py4cast_tpu.models.base import ModelBase, ModelType, crop_to, pad_to_multiple
-from py4cast_tpu.models.unet import _gn
+from py4cast_tpu.models.base import (
+    DropPath,
+    ModelBase,
+    ModelType,
+    crop_to,
+    norm_layer,
+    pad_to_multiple,
+)
 
 
 @dataclass(frozen=True)
@@ -34,6 +45,19 @@ class SwinUNetRSettings:
     downsample: str = "merging"
     use_v2: bool = False
     window_size: int = 7
+
+    def __post_init__(self):
+        # fail at CONFIG time, not trace time (framework-wide policy)
+        norm_layer(self.norm_name, 8)
+        for f in ("drop_rate", "attn_drop_rate", "dropout_path_rate"):
+            v = getattr(self, f)
+            if not 0.0 <= v < 1.0:
+                raise ValueError(f"{f} must be in [0, 1); got {v}")
+        if self.downsample != "merging":
+            raise ValueError(
+                f"downsample {self.downsample!r} unsupported; only 'merging' "
+                "(patch merging — the reference default) is implemented"
+            )
 
 
 def _window_partition(x, ws: int):
@@ -70,9 +94,11 @@ class WindowAttention(nn.Module):
     dim: int
     heads: int
     ws: int
+    attn_drop: float = 0.0
+    proj_drop: float = 0.0
 
     @nn.compact
-    def __call__(self, x, mask=None):
+    def __call__(self, x, mask=None, deterministic: bool = True):
         # x: (nB, T, C) with T = ws*ws
         nb, t, c = x.shape
         head_dim = self.dim // self.heads
@@ -107,8 +133,10 @@ class WindowAttention(nn.Module):
         # softmax in f32 for stability, back to the compute dtype so the
         # value matmul and downstream layers stay bf16 under the policy
         attn = nn.softmax(attn, axis=-1).astype(v.dtype)
+        attn = nn.Dropout(self.attn_drop)(attn, deterministic=deterministic)
         out = jnp.einsum("bhts,bhsd->bhtd", attn, v).transpose(0, 2, 1, 3)
-        return nn.Dense(self.dim)(out.reshape(nb, t, self.dim))
+        out = nn.Dense(self.dim)(out.reshape(nb, t, self.dim))
+        return nn.Dropout(self.proj_drop)(out, deterministic=deterministic)
 
 
 class SwinBlock(nn.Module):
@@ -116,9 +144,12 @@ class SwinBlock(nn.Module):
     heads: int
     ws: int
     shift: int
+    drop: float = 0.0
+    attn_drop: float = 0.0
+    drop_path: float = 0.0
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, deterministic: bool = True):
         b, h, w, c = x.shape
         shortcut = x
         y = nn.LayerNorm()(x)
@@ -128,16 +159,20 @@ class SwinBlock(nn.Module):
         else:
             mask = None
         wins = _window_partition(y, self.ws)
-        wins = WindowAttention(self.dim, self.heads, self.ws)(wins, mask)
+        wins = WindowAttention(
+            self.dim, self.heads, self.ws, self.attn_drop, self.drop
+        )(wins, mask, deterministic=deterministic)
         y = _window_reverse(wins, self.ws, h, w)
         if self.shift > 0:
             y = jnp.roll(y, (self.shift, self.shift), axis=(1, 2))
-        x = shortcut + y
+        x = shortcut + DropPath(self.drop_path)(y, deterministic)
         z = nn.LayerNorm()(x)
         z = nn.Dense(self.dim * 4)(z)
         z = nn.gelu(z)
+        z = nn.Dropout(self.drop)(z, deterministic=deterministic)
         z = nn.Dense(self.dim)(z)
-        return x + z
+        z = nn.Dropout(self.drop)(z, deterministic=deterministic)
+        return x + DropPath(self.drop_path)(z, deterministic)
 
 
 class SwinStage(nn.Module):
@@ -145,14 +180,21 @@ class SwinStage(nn.Module):
     depth: int
     heads: int
     ws: int
+    drop: float = 0.0
+    attn_drop: float = 0.0
+    drop_path: Tuple[float, ...] = ()  # per-block stochastic-depth rates
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, deterministic: bool = True):
         # pad to window multiple, run blocks, crop back
         x, hw = pad_to_multiple(x, self.ws)
         for i in range(self.depth):
             shift = 0 if i % 2 == 0 else self.ws // 2
-            x = SwinBlock(self.dim, self.heads, self.ws, shift)(x)
+            dp = self.drop_path[i] if i < len(self.drop_path) else 0.0
+            x = SwinBlock(
+                self.dim, self.heads, self.ws, shift,
+                self.drop, self.attn_drop, dp,
+            )(x, deterministic=deterministic)
         return crop_to(x, hw)
 
 
@@ -171,13 +213,14 @@ class PatchMerging(nn.Module):
 
 class ConvBlockRes(nn.Module):
     features: int
+    norm_name: str = "instance"
 
     @nn.compact
     def __call__(self, x):
         y = nn.Conv(self.features, (3, 3), padding="SAME", use_bias=False)(x)
-        y = nn.relu(_gn(self.features)(y))
+        y = nn.relu(norm_layer(self.norm_name, self.features)(y))
         y = nn.Conv(self.features, (3, 3), padding="SAME", use_bias=False)(y)
-        y = _gn(self.features)(y)
+        y = norm_layer(self.norm_name, self.features)(y)
         if x.shape[-1] != self.features:
             x = nn.Conv(self.features, (1, 1), use_bias=False)(x)
         return nn.relu(x + y)
@@ -185,6 +228,7 @@ class ConvBlockRes(nn.Module):
 
 class UpBlock(nn.Module):
     features: int
+    norm_name: str = "instance"
 
     @nn.compact
     def __call__(self, x, skip):
@@ -192,7 +236,7 @@ class UpBlock(nn.Module):
         if x.shape[1] != skip.shape[1] or x.shape[2] != skip.shape[2]:
             x = x[:, : skip.shape[1], : skip.shape[2], :]
         x = jnp.concatenate([x, skip], axis=-1)
-        return ConvBlockRes(self.features)(x)
+        return ConvBlockRes(self.features, self.norm_name)(x)
 
 
 class SwinUNetR(ModelBase):
@@ -210,20 +254,38 @@ class SwinUNetR(ModelBase):
         x_pad, hw = pad_to_multiple(x, total)
         f = s.feature_size
 
+        # stochastic-depth rates increase linearly over ALL transformer
+        # blocks (standard swin/timm schedule)
+        total_blocks = max(1, sum(s.depths))
+        dpr = [
+            s.dropout_path_rate * i / max(1, total_blocks - 1)
+            for i in range(total_blocks)
+        ]
+        offsets = np.cumsum((0,) + tuple(s.depths))
+
         # encoder 0: full-res conv features
-        enc0 = ConvBlockRes(f)(x_pad)
-        # patch embedding (stride 2)
+        enc0 = ConvBlockRes(f, s.norm_name)(x_pad)
+        # patch embedding (stride 2) + embedding dropout
         h = nn.Conv(f, (2, 2), strides=(2, 2))(x_pad)
+        h = nn.Dropout(s.drop_rate)(h, deterministic=deterministic)
         skips = [enc0]
         for i in range(n_stages):
-            h = SwinStage(h.shape[-1], s.depths[i], s.num_heads[i], s.window_size)(h)
-            skips.append(ConvBlockRes(f * 2**i)(h))
+            if s.use_v2:
+                # swin v2 variant: a residual conv block refines each
+                # stage's tokens before its transformer blocks
+                h = ConvBlockRes(h.shape[-1], s.norm_name, name=f"v2_block{i}")(h)
+            h = SwinStage(
+                h.shape[-1], s.depths[i], s.num_heads[i], s.window_size,
+                s.drop_rate, s.attn_drop_rate,
+                tuple(dpr[offsets[i]:offsets[i + 1]]),
+            )(h, deterministic=deterministic)
+            skips.append(ConvBlockRes(f * 2**i, s.norm_name)(h))
             if i < n_stages - 1:
                 h = PatchMerging(f * 2 ** (i + 1))(h)
 
-        y = ConvBlockRes(f * 2 ** (n_stages - 1))(skips[-1])
+        y = ConvBlockRes(f * 2 ** (n_stages - 1), s.norm_name)(skips[-1])
         for i in reversed(range(n_stages - 1)):
-            y = UpBlock(f * 2**i)(y, skips[i + 1])
-        y = UpBlock(f)(y, skips[0])
+            y = UpBlock(f * 2**i, s.norm_name)(y, skips[i + 1])
+        y = UpBlock(f, s.norm_name)(y, skips[0])
         y = nn.Conv(self.num_output_features, (1, 1))(y)
         return crop_to(y, hw)

@@ -20,8 +20,14 @@ import flax.linen as nn
 import numpy as np
 import jax.numpy as jnp
 
-from py4cast_tpu.models.base import ModelBase, ModelType, crop_to, pad_to_multiple
-from py4cast_tpu.models.unet import _bilinear_resize, _gn
+from py4cast_tpu.models.base import (
+    ModelBase,
+    ModelType,
+    crop_to,
+    norm_layer,
+    pad_to_multiple,
+)
+from py4cast_tpu.models.unet import _bilinear_resize
 
 
 @dataclass(frozen=True)
@@ -39,7 +45,32 @@ class UNetRPPSettings:
     decoder_proj_size: int = 64
     encoder_proj_sizes: Tuple[int, ...] = (64, 64, 64, 32)
     add_skip_connections: bool = True
-    attention_code: str = "xla"  # reference: torch | flash-attn
+    #: attention backend. "torch"/"xla" → plain XLA einsum attention
+    #: (measured FASTER under current XLA — doc/performance.md round 4);
+    #: "flash_attn"/"pallas" → the Pallas short-KV kernel (the TPU analog
+    #: of the reference's flash-attn wheel, Dockerfile.ewc_flash_attn:31).
+    attention_code: str = "xla"
+
+    def __post_init__(self):
+        norm_layer(self.norm_name, 8)  # config-time validation
+        if not 0.0 <= self.dropout_rate < 1.0:
+            raise ValueError(f"dropout_rate must be in [0, 1); got {self.dropout_rate}")
+        if self.conv_op != "Conv2d":
+            raise ValueError(
+                f"conv_op {self.conv_op!r} unsupported: this build is 2-D "
+                "NHWC (Conv2d) only, matching the framework's grid layout"
+            )
+        if self.attention_code not in ("torch", "xla", "flash_attn", "pallas"):
+            raise ValueError(
+                f"attention_code {self.attention_code!r} unknown; accepted: "
+                "torch | xla (XLA attention), flash_attn | pallas "
+                "(Pallas short-KV kernel)"
+            )
+        if self.pos_embed not in ("perceptron", "none"):
+            raise ValueError(
+                f"pos_embed {self.pos_embed!r} unknown; accepted: "
+                "perceptron | none"
+            )
 
 
 class EPA(nn.Module):
@@ -49,9 +80,11 @@ class EPA(nn.Module):
     dim: int
     heads: int
     proj_size: int
+    drop: float = 0.0
+    pallas: bool = False  # attention_code: pallas | flash_attn
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, deterministic: bool = True):
         # x: (B, N, C)
         b, n, c = x.shape
         hd = self.dim // self.heads
@@ -91,7 +124,7 @@ class EPA(nn.Module):
             use_pallas_attention,
         )
 
-        if use_pallas_attention(p, hd):
+        if use_pallas_attention(p, hd, requested=self.pallas):
             # N queries × p projected K/V tokens: the Pallas short-KV
             # kernel keeps K/V in VMEM and never materializes (N, p)
             # logits in HBM
@@ -112,24 +145,28 @@ class EPA(nn.Module):
             return a.transpose(0, 2, 1, 3).reshape(b, n, self.dim)
 
         fused = nn.Dense(self.dim)(merge(out_sp)) + nn.Dense(self.dim)(merge(out_ch))
-        return fused
+        return nn.Dropout(self.drop)(fused, deterministic=deterministic)
 
 
 class EPABlock(nn.Module):
     dim: int
     heads: int
     proj_size: int
+    drop: float = 0.0
+    pallas: bool = False
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, deterministic: bool = True):
         # x: (B, H, W, C) — tokens are the spatial positions
         b, h, w, c = x.shape
         t = x.reshape(b, h * w, c)
-        t = t + EPA(self.dim, self.heads, self.proj_size)(nn.LayerNorm()(t))
+        t = t + EPA(self.dim, self.heads, self.proj_size, self.drop,
+                    self.pallas)(nn.LayerNorm()(t), deterministic)
         y = t.reshape(b, h, w, c)
         # conv FFN (3x3 depthwise + pointwise), the UNETR++ conv stem
         z = nn.Conv(self.dim * 2, (3, 3), padding="SAME")(y)
         z = nn.gelu(z)
+        z = nn.Dropout(self.drop)(z, deterministic=deterministic)
         z = nn.Conv(self.dim, (3, 3), padding="SAME")(z)
         return y + z
 
@@ -143,16 +180,24 @@ class _EPAScanStep(nn.Module):
     dim: int
     heads: int
     proj_size: int
+    drop: float = 0.0
+    pallas: bool = False
+    deterministic: bool = True  # static at stage construction (trace time)
 
     @nn.compact
     def __call__(self, carry, _):
-        y = EPABlock(self.dim, self.heads, self.proj_size, name="block")(carry)
+        y = EPABlock(self.dim, self.heads, self.proj_size, self.drop,
+                     self.pallas, name="block")(carry, self.deterministic)
         return y, None
 
 
-def _epa_stage(h, depth: int, dim: int, heads: int, proj_size: int, name: str):
+def _epa_stage(h, depth: int, dim: int, heads: int, proj_size: int, name: str,
+               drop: float = 0.0, pallas: bool = False,
+               deterministic: bool = True):
     if depth <= 1:
-        return EPABlock(dim, heads, proj_size, name=name)(h)
+        return EPABlock(dim, heads, proj_size, drop, pallas, name=name)(
+            h, deterministic
+        )
     # scan-over-remat: recompute the block interior in the backward
     # instead of stacking per-repeat residuals (see graph._scan_layers —
     # the residual save/prefetch path costs multiples of the block's own
@@ -160,9 +205,10 @@ def _epa_stage(h, depth: int, dim: int, heads: int, proj_size: int, name: str):
     scan = nn.scan(
         nn.remat(_EPAScanStep, prevent_cse=False),
         variable_axes={"params": 0},
-        split_rngs={"params": True},
+        split_rngs={"params": True, "dropout": True},
         length=depth,
-    )(dim=dim, heads=heads, proj_size=proj_size, name=name)
+    )(dim=dim, heads=heads, proj_size=proj_size, drop=drop, pallas=pallas,
+      deterministic=deterministic, name=name)
     h, _ = scan(h, None)
     return h
 
@@ -182,20 +228,24 @@ class UNetRPP(ModelBase):
         total = dr * 2 ** (n_stages - 1)
         x_pad, hw = pad_to_multiple(x, total)
         dims = [s.hidden_size // 2**i for i in reversed(range(n_stages))]
+        pallas = s.attention_code in ("pallas", "flash_attn")
 
         # full-res conv stem used as the outermost skip
         stem = nn.Conv(dims[0] // 2, (3, 3), padding="SAME")(x_pad)
-        stem = nn.gelu(_gn(dims[0] // 2)(stem))
+        stem = nn.gelu(norm_layer(s.norm_name, dims[0] // 2)(stem))
 
         # encoder
         h = nn.Conv(dims[0], (dr, dr), strides=(dr, dr))(x_pad)  # patch embed
         if s.pos_embed == "perceptron":
             h = nn.Dense(dims[0])(h)
+        h = nn.Dropout(s.dropout_rate)(h, deterministic=deterministic)
         skips = []
         for i in range(n_stages):
             h = _epa_stage(
                 h, s.depths[i], dims[i], s.num_heads_encoder,
                 s.encoder_proj_sizes[i], name=f"enc_stage{i}",
+                drop=s.dropout_rate, pallas=pallas,
+                deterministic=deterministic,
             )
             skips.append(h)
             if i < n_stages - 1:
@@ -211,7 +261,8 @@ class UNetRPP(ModelBase):
                 y = nn.ConvTranspose(dims[i], (2, 2), strides=(2, 2))(y)
             if s.add_skip_connections:
                 y = y + skips[i]
-            y = EPABlock(dims[i], s.num_heads_decoder, s.decoder_proj_size)(y)
+            y = EPABlock(dims[i], s.num_heads_decoder, s.decoder_proj_size,
+                         s.dropout_rate, pallas)(y, deterministic)
 
         # back to full resolution
         if s.linear_upsampling:
@@ -221,6 +272,6 @@ class UNetRPP(ModelBase):
             y = nn.ConvTranspose(dims[0] // 2, (dr, dr), strides=(dr, dr))(y)
         y = jnp.concatenate([y, stem], axis=-1)
         y = nn.Conv(dims[0] // 2, (3, 3), padding="SAME")(y)
-        y = nn.gelu(_gn(dims[0] // 2)(y))
+        y = nn.gelu(norm_layer(s.norm_name, dims[0] // 2)(y))
         y = nn.Conv(self.num_output_features, (1, 1))(y)
         return crop_to(y, hw)

@@ -224,10 +224,14 @@ def spatially_sharded() -> bool:
 _ENV_OVERRIDE_WARNED: set = set()
 
 
-def use_pallas_attention(lk: int, head_dim: int = 128) -> bool:
-    """Pallas path: OPT-IN via P4T_FUSED_ATTENTION=1 (default off), on
-    TPU, K/V small enough to sit in VMEM, head dim wide enough to feed
-    the MXU lanes.
+def use_pallas_attention(
+    lk: int, head_dim: int = 128, requested: bool = False
+) -> bool:
+    """Pallas path: OPT-IN via P4T_FUSED_ATTENTION=1 or a model setting
+    (``requested=True`` — UNetRPP ``attention_code: pallas|flash_attn``,
+    the TPU analog of the reference selecting its flash-attn wheel),
+    default off. Always requires: TPU, K/V small enough to sit in VMEM,
+    head dim wide enough to feed the MXU lanes, no spatial sharding.
 
     Off by default since round 4: the kernel now measures SLOWER than
     XLA's attention on every model that reaches it — full train step,
@@ -242,7 +246,7 @@ def use_pallas_attention(lk: int, head_dim: int = 128) -> bool:
     import os
 
     return (
-        os.environ.get("P4T_FUSED_ATTENTION") == "1"
+        (requested or os.environ.get("P4T_FUSED_ATTENTION") == "1")
         and _target_platform() == "tpu"
         and lk <= MAX_KV_VMEM_TOKENS
         and head_dim >= 32

@@ -40,6 +40,9 @@ class RolloutConfig:
     # downscaling_only to rebuild the state from the predicted residual
     # (reference: lightning.py:546-558)
     common_features_idx: Tuple[int, ...] = ()
+    # pass a per-(step, inter-step) rng to model_apply — set by the
+    # trainer when the model has active dropout/stochastic-depth rates
+    model_rng: bool = False
 
     def __post_init__(self):
         if self.strategy not in TRAINING_STRATEGIES:
@@ -220,7 +223,13 @@ def rollout(
             x = build_x(prev_states, forcing_t, cfg)
             if cfg.mask_ratio != 0.0:
                 x = mask_blocks(x, jax.random.fold_in(step_rng, k), cfg.mask_ratio)
-            y = model_apply(x)
+            if cfg.model_rng:
+                # dropout/stochastic depth draw fresh masks per
+                # (AR step, inter-step); offset keeps the stream
+                # disjoint from the mask_ratio folds above
+                y = model_apply(x, jax.random.fold_in(step_rng, 1009 + k))
+            else:
+                y = model_apply(x)
 
             last_prev = prev_states[:, -1]
             if cfg.mask_on_nan:

@@ -241,6 +241,16 @@ class AutoRegressiveModule:
             dataset_info.stats.to_array("std", out_names)
         )
 
+        # active dropout / stochastic depth? (reference settings surface:
+        # swinunetr.yaml drop rates, unetrpp.yaml dropout_rate) — when any
+        # rate is nonzero, train-time rollouts pass a per-step rng and
+        # apply the model with deterministic=False
+        self._dropout_active = any(
+            float(getattr(self.model_settings, f, 0.0) or 0.0) > 0.0
+            for f in ("drop_rate", "attn_drop_rate", "dropout_path_rate",
+                      "dropout_rate")
+        )
+
         self.rollout_cfg = RolloutConfig(
             strategy=settings.training_strategy,
             num_inter_steps=settings.num_inter_steps,
@@ -394,13 +404,15 @@ class AutoRegressiveModule:
         return "\n".join(lines)
 
     # ----------------------------------------------------------------- pieces
-    def _model_apply(self, params, graph=None):
+    def _model_apply(self, params, graph=None, train=False):
         """Features-last model application with bf16 activation policy.
 
         Honors the model's ``use_checkpointing`` setting with jax
         rematerialization — the TPU analog of the reference GNNs'
         activation checkpointing / CPU offload flags
-        (config/CLI/model/graphlam.yaml:20-21)."""
+        (config/CLI/model/graphlam.yaml:20-21). With ``train=True`` and
+        active dropout rates, the returned callable takes a second rng
+        argument and applies the model with deterministic=False."""
 
         def cast_floats(tree):
             return jax.tree.map(
@@ -410,7 +422,9 @@ class AutoRegressiveModule:
                 tree,
             )
 
-        def apply(x):
+        dropout = train and self._dropout_active
+
+        def apply(x, rng=None):
             p = params
             if self.compute_dtype != jnp.float32:
                 # true mixed precision: bf16 params INSIDE apply (master
@@ -419,10 +433,13 @@ class AutoRegressiveModule:
                 # fp32 at the first Dense/Conv
                 x = x.astype(self.compute_dtype)
                 p = cast_floats(p)
+            kwargs = {}
             if graph:
-                y = self.model.apply(p, x, graph_arrays=graph)
-            else:
-                y = self.model.apply(p, x)
+                kwargs["graph_arrays"] = graph
+            if dropout:
+                kwargs["deterministic"] = False
+                kwargs["rngs"] = {"dropout": rng}
+            y = self.model.apply(p, x, **kwargs)
             return y.astype(jnp.float32)
 
         if (
@@ -449,9 +466,12 @@ class AutoRegressiveModule:
         return {**self._buffers, "graph": self._graph_buffers}
 
     def _rollout(self, params, inputs, forcing, outputs, num_pred_steps, rng,
-                 buffers):
+                 buffers, train=False):
+        cfg = self.rollout_cfg
+        if train and self._dropout_active:
+            cfg = dataclasses.replace(cfg, model_rng=True)
         return rollout(
-            self._model_apply(params, buffers.get("graph")),
+            self._model_apply(params, buffers.get("graph"), train=train),
             inputs,
             forcing,
             outputs,
@@ -459,7 +479,7 @@ class AutoRegressiveModule:
             buffers["border_mask"],
             buffers["step_diff_mean"],
             buffers["step_diff_std"],
-            self.rollout_cfg,
+            cfg,
             num_pred_steps,
             rng,
         )
@@ -480,9 +500,10 @@ class AutoRegressiveModule:
         )
 
     def _batch_loss(self, params, inputs, forcing, outputs, num_pred_steps, rng,
-                    buffers):
+                    buffers, train=False):
         preds = self._rollout(
-            params, inputs, forcing, outputs, num_pred_steps, rng, buffers
+            params, inputs, forcing, outputs, num_pred_steps, rng, buffers,
+            train=train,
         )
         mask, target = self._mask_and_target(outputs)
         per_step = self.loss(
@@ -513,7 +534,7 @@ class AutoRegressiveModule:
                 grad_fn = jax.value_and_grad(self._batch_loss, has_aux=True)
                 (loss, _), grads = grad_fn(
                     state.params, inputs, forcing, outputs, num_pred_steps, rng,
-                    buffers,
+                    buffers, train=True,
                 )
                 return state.apply_gradients(grads=grads), loss
 
