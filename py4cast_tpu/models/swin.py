@@ -279,7 +279,11 @@ class SwinUNetR(ModelBase):
                 s.drop_rate, s.attn_drop_rate,
                 tuple(dpr[offsets[i]:offsets[i + 1]]),
             )(h, deterministic=deterministic)
-            skips.append(ConvBlockRes(f * 2**i, s.norm_name)(h))
+            # normalize: layer-norm each stage's hidden state before it
+            # feeds the decoder skip (the reference swin encoder's
+            # proj_out); the stage chain itself continues unnormalized
+            skip_src = nn.LayerNorm()(h) if s.normalize else h
+            skips.append(ConvBlockRes(f * 2**i, s.norm_name)(skip_src))
             if i < n_stages - 1:
                 h = PatchMerging(f * 2 ** (i + 1))(h)
 

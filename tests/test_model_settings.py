@@ -118,6 +118,19 @@ def test_swin_use_v2_adds_stage_conv_blocks():
     )
 
 
+def test_swin_normalize_adds_stage_layernorms():
+    def n_params(settings):
+        m = SwinUNetR(num_input_features=4, num_output_features=3,
+                      input_shape=(16, 16), settings=settings)
+        v = m.init(jax.random.key(0), jnp.ones((1, 16, 16, 4)))
+        return sum(a.size for a in jax.tree.leaves(v))
+
+    base = dict(feature_size=8, depths=(1, 1), num_heads=(2, 2), window_size=4)
+    assert n_params(SwinUNetRSettings(normalize=True, **base)) > n_params(
+        SwinUNetRSettings(normalize=False, **base)
+    )
+
+
 # ------------------------------------- dropout is live in the training loop
 @pytest.mark.parametrize(
     "model_name,args",
