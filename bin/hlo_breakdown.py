@@ -160,8 +160,12 @@ def analyze(hlo: str):
     insts = []
     # which computations are while-loop bodies (scan) — their ops run
     # per-iteration but appear once; flag them
+    # the shape text may be a tuple whose layouts contain parens
+    # (T(8,128)(2,1)), so match non-greedily up to the opcode: a
+    # lowercase word directly followed by '(' — layout annotations are
+    # never preceded by whitespace, so this never fires inside a shape
     inst_re = re.compile(
-        r"^\s+(?:ROOT\s+)?%?([\w.\-]+)\s*=\s*(\([^)]*\)|\S+)\s+([\w\-]+)\("
+        r"^\s+(?:ROOT\s+)?%?([\w.\-]+)\s*=\s*(.*?)\s+([a-z][\w\-]*)\("
     )
     for line in hlo.splitlines():
         m = inst_re.match(line)

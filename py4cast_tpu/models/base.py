@@ -25,7 +25,6 @@ from enum import Enum
 from typing import Any, Callable, Optional, Tuple
 
 import flax.linen as nn
-import jax
 import jax.numpy as jnp
 
 
@@ -113,6 +112,15 @@ def crop_to(x: jnp.ndarray, hw: Tuple[int, int]) -> jnp.ndarray:
     return x[:, : hw[0], : hw[1], :]
 
 
+def _gn(num_channels: int, name=None) -> nn.GroupNorm:
+    """GroupNorm with up to 8 groups, degrading toward layer-norm-like
+    when the channel count is not divisible (the zoo's default norm)."""
+    groups = 8
+    while groups > 1 and num_channels % groups != 0:
+        groups //= 2
+    return nn.GroupNorm(num_groups=groups, name=name)
+
+
 def norm_layer(name: str, features: int) -> nn.Module:
     """Map the reference's ``norm_name`` setting onto a stateless norm.
 
@@ -128,10 +136,7 @@ def norm_layer(name: str, features: int) -> nn.Module:
     if name in ("layer", "LAYER"):
         return nn.GroupNorm(num_groups=1)
     if name in ("group", "GROUP"):
-        groups = 8
-        while groups > 1 and features % groups != 0:
-            groups //= 2
-        return nn.GroupNorm(num_groups=groups)
+        return _gn(features)
     if name in ("batch", "BATCH"):
         raise ValueError(
             "norm_name 'batch' is unsupported on TPU by design: BatchNorm "
@@ -148,20 +153,16 @@ class DropPath(nn.Module):
     """Stochastic depth: drop a residual branch per SAMPLE with
     probability ``rate`` during training, identity at eval (standard
     swin/timm semantics — survivors are rescaled by 1/keep so the
-    expectation matches)."""
+    expectation matches). Exactly nn.Dropout with the mask broadcast
+    over every non-batch dim."""
 
     rate: float
 
     @nn.compact
     def __call__(self, x, deterministic: bool = True):
-        if self.rate == 0.0 or deterministic:
-            return x
-        keep = 1.0 - self.rate
-        rng = self.make_rng("dropout")
-        mask = jax.random.bernoulli(
-            rng, keep, (x.shape[0],) + (1,) * (x.ndim - 1)
-        )
-        return jnp.where(mask, x / keep, 0.0).astype(x.dtype)
+        return nn.Dropout(
+            self.rate, broadcast_dims=tuple(range(1, x.ndim))
+        )(x, deterministic=deterministic)
 
 
 ACTIVATIONS: dict = {

@@ -20,18 +20,11 @@ from py4cast_tpu.ops.pool import max_pool_2x2
 from py4cast_tpu.models.base import (
     ModelBase,
     ModelType,
+    _gn,  # noqa: F401  (re-exported: deeplab/segformer import it from here)
     crop_to,
     get_activation,
     pad_to_multiple,
 )
-
-
-def _gn(num_channels: int, name=None) -> nn.GroupNorm:
-    # cap groups at 8 and require divisibility; degrade to layer-norm-like
-    groups = 8
-    while groups > 1 and num_channels % groups != 0:
-        groups //= 2
-    return nn.GroupNorm(num_groups=groups, name=name)
 
 
 class ConvBlock(nn.Module):

@@ -245,13 +245,36 @@ def use_pallas_attention(
     bound: UNETR++ EPA with head_dim 16 measured 23 vs 32 samples/s."""
     import os
 
-    return (
+    on = (
         (requested or os.environ.get("P4T_FUSED_ATTENTION") == "1")
         and _target_platform() == "tpu"
         and lk <= MAX_KV_VMEM_TOKENS
         and head_dim >= 32
         and not spatially_sharded()
     )
+    if requested and not on:
+        # the model EXPLICITLY asked for the kernel (attention_code):
+        # a silent fallback would be the same parity trap as an ignored
+        # setting, so name the failing condition (once per shape)
+        reason = (
+            "platform is not TPU" if _target_platform() != "tpu"
+            else f"K/V length {lk} > {MAX_KV_VMEM_TOKENS} (VMEM bound)"
+            if lk > MAX_KV_VMEM_TOKENS
+            else f"head_dim {head_dim} < 32 (MXU lane bound)"
+            if head_dim < 32
+            else "spatial sharding active (kernel is opaque to GSPMD)"
+        )
+        key = ("requested-miss", lk, head_dim, reason)
+        if key not in _ENV_OVERRIDE_WARNED:
+            _ENV_OVERRIDE_WARNED.add(key)
+            import warnings
+
+            warnings.warn(
+                f"attention_code requested the Pallas kernel but it "
+                f"cannot engage here ({reason}); falling back to XLA "
+                "attention."
+            )
+    return on
 
 
 def dot_product_attention_short_kv(

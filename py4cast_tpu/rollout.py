@@ -156,7 +156,7 @@ def build_x(
 
 
 def rollout(
-    model_apply: Callable[[jnp.ndarray], jnp.ndarray],
+    model_apply: Callable[..., jnp.ndarray],
     inputs: jnp.ndarray,
     forcing: jnp.ndarray,
     outputs: Optional[jnp.ndarray],
@@ -172,7 +172,10 @@ def rollout(
 
     Args:
       model_apply: x (B, *spatial, F_in) → y (B, *spatial, F). For GRAPH
-        models spatial is (ngrid,), else (lat, lon).
+        models spatial is (ngrid,), else (lat, lon). With
+        ``cfg.model_rng=True`` it is instead called as
+        ``model_apply(x, rng)`` with a fresh per-(step, inter-step) key
+        (train-time dropout / stochastic depth).
       inputs: (B, n_in, *spatial, F) initial window.
       forcing: (B, T, *spatial, Ff).
       outputs: (B, T, *spatial, F) ground truth, or None (inference mode:

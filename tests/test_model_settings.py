@@ -190,6 +190,16 @@ def test_scanned_epa_stage_dropout_runs():
     assert jnp.isfinite(loss)
 
 
+def test_requested_pallas_backend_warns_when_it_cannot_engage():
+    # attention_code explicitly requested the kernel; on this CPU test
+    # backend it cannot engage — a silent fallback would be the same
+    # parity trap as an ignored setting, so it must say so
+    from py4cast_tpu.ops.attention import use_pallas_attention
+
+    with pytest.warns(UserWarning, match="cannot engage"):
+        assert use_pallas_attention(64, 64, requested=True) is False
+
+
 def test_registry_builds_with_reference_yaml_values():
     # the exact reference yaml settings (unetrpp.yaml) must construct
     kls, settings = get_model_kls_and_settings(
