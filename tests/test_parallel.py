@@ -86,6 +86,41 @@ def test_graph_spatial_sharding_matches_unsharded():
     assert run(single) == pytest.approx(run(dp4sp2), rel=1e-4)
 
 
+@pytest.mark.parametrize(
+    "model_name,args",
+    [
+        # window partition reshapes + shifted-window rolls under a
+        # sharded lat dim (GSPMD lowers rolls to collective permutes)
+        ("SwinUNetR", {"feature_size": 8, "depths": (1, 1),
+                       "num_heads": (2, 2), "window_size": 4}),
+        # (B, H, W, C) → (B, N, C) token flattening + EPA attention
+        # under a sharded lat dim
+        ("UNetRPP", {"hidden_size": 16, "depths": (1, 1),
+                     "num_heads_encoder": 2, "num_heads_decoder": 2,
+                     "encoder_proj_sizes": (16, 16),
+                     "downsampling_rate": 2}),
+    ],
+)
+def test_attention_spatial_sharding_matches_unsharded(model_name, args):
+    """The ViT families must also survive lat sharding exactly — their
+    window/token reshapes cross the sharded dim, which GSPMD handles
+    with resharding collectives."""
+    single = make_mesh(MeshConfig(data_parallel=1), jax.devices()[:1])
+    dp4sp2 = make_mesh(MeshConfig(data_parallel=4, spatial=2))
+
+    def run(mesh):
+        module = AutoRegressiveModule(
+            _settings(model_name=model_name, settings_init_args=args),
+            INFO, mesh=mesh,
+        )
+        state = module.init_state(jax.random.key(0), 4)
+        batch = synthetic_batch(INFO, batch_size=8, num_pred_steps=2)
+        _, loss = module.train_step(state, batch, jax.random.key(1))
+        return float(loss)
+
+    assert run(single) == pytest.approx(run(dp4sp2), rel=1e-4)
+
+
 def test_graph_table_path_rejects_spatial_sharding():
     """The gather-table fallback cannot shard the grid — it must refuse
     loudly instead of silently serializing on all-to-alls."""
