@@ -1,11 +1,17 @@
 #!/usr/bin/env python
-"""Dump the optimized HLO of one GNN train step and rank instructions
-by result bytes — the poor man's profiler for finding which backward
-ops move the HBM gigabytes (no TensorBoard needed through the tunnel).
+"""Dump the optimized HLO of one train step (any zoo model) and rank
+instructions by result bytes — the poor man's profiler for finding which
+backward ops move the HBM gigabytes (no TensorBoard needed through the
+tunnel).
 
-Usage: python bin/hlo_breakdown.py [HiLAM] [500x500] [layers]
+Usage: python bin/hlo_breakdown.py [model|dump.txt] [HxW] [gnn_layers]
+- model: any bench.CONFIGS / bench.ZOO_CONFIGS name (settings come from
+  there); default HiLAM. gnn_layers overrides processor_layers and only
+  applies to the GNN models.
+- dump.txt: an already-dumped HLO text file → offline re-rank only (no
+  lowering), with both logical and lane-padded byte columns.
 Writes the full HLO to /tmp/hlo_<model>.txt and prints a byte-ranked
-opcode/fusion summary.
+opcode/fusion summary (logical + tile-padded bytes per row).
 """
 
 import os

@@ -18,6 +18,46 @@ from typing import Any, Optional
 import numpy as np
 import orbax.checkpoint as ocp
 
+#: Param-tree semantics version, stamped into every manifest. Bump when
+#: a model's param tree or param SEMANTICS change such that an old
+#: checkpoint would restore without error but compute different outputs.
+#: History:
+#:   1 (implicit, manifests without the field) — rounds 1-4 early:
+#:     SwinUNetR ConvBlockRes / UNetRPP stem used 8-group GroupNorm.
+#:   2 — norm_name-mapped per-channel instance norm, affine-free
+#:     (matches torch InstanceNorm2d affine=False): SwinUNetR/UNetRPP
+#:     param trees changed; GroupNorm scale/bias leaves are gone.
+CHECKPOINT_FORMAT_VERSION = 2
+
+#: models whose param semantics changed at each version bump — only
+#: their old checkpoints are actually incompatible
+_FORMAT_AFFECTED_MODELS = {2: ("SwinUNetR", "UNetRPP")}
+
+
+def check_format_version(manifest: dict) -> None:
+    """Refuse to restore a checkpoint whose param semantics predate the
+    current format — a shape-compatible restore would silently compute
+    different outputs (ADVICE r4: the GroupNorm→instance-norm switch
+    kept identical scale/bias shapes, so nothing failed at restore).
+    """
+    stored = int(manifest.get("checkpoint_format", 1))
+    if stored >= CHECKPOINT_FORMAT_VERSION:
+        return
+    model = manifest.get("model_name", "")
+    affected = [
+        v for v in range(stored + 1, CHECKPOINT_FORMAT_VERSION + 1)
+        if model in _FORMAT_AFFECTED_MODELS.get(v, ())
+    ]
+    if affected:
+        raise ValueError(
+            f"Checkpoint format {stored} predates version(s) {affected} "
+            f"which changed {model}'s normalization param semantics "
+            "(8-group GroupNorm → affine-free per-channel instance norm). "
+            "Restoring would silently compute different outputs. "
+            "Re-train, or knowingly inject raw params via "
+            "inference.use_old_weights / load_raw_params."
+        )
+
 
 def _jsonable(x):
     if dataclasses.is_dataclass(x) and not isinstance(x, type):

@@ -130,9 +130,17 @@ def norm_layer(name: str, features: int) -> nn.Module:
     stat syncing — see the module docstring). InstanceNorm IS GroupNorm
     with one group per channel; LayerNorm-over-channels is GroupNorm
     with a single group.
+
+    'instance' is affine-FREE (no learnable scale/bias), matching torch
+    ``InstanceNorm2d``'s ``affine=False`` default that the reference zoo
+    inherits via monai — carrying affine params here would add weights
+    the reference doesn't have (and weight-decay them). Checkpoints from
+    before this change have a different param tree for SwinUNetR/UNetRPP;
+    ``checkpoint.CHECKPOINT_FORMAT_VERSION`` gates restores loudly.
     """
     if name in ("instance", "INSTANCE"):
-        return nn.GroupNorm(num_groups=features)
+        return nn.GroupNorm(num_groups=features, use_scale=False,
+                            use_bias=False)
     if name in ("layer", "LAYER"):
         return nn.GroupNorm(num_groups=1)
     if name in ("group", "GROUP"):

@@ -33,6 +33,12 @@ from py4cast_tpu.models.base import (
 
 @dataclass(frozen=True)
 class SwinUNetRSettings:
+    #: fields that enable train-time dropout rngs when nonzero — the
+    #: trainer derives its deterministic/rng plumbing from this tuple
+    #: (training.py _dropout_active); an undeclared nonzero drop field
+    #: is rejected at module build
+    DROPOUT_FIELDS = ("drop_rate", "attn_drop_rate", "dropout_path_rate")
+
     depths: Tuple[int, ...] = (2, 2, 2, 2)
     num_heads: Tuple[int, ...] = (3, 6, 12, 24)
     feature_size: int = 24

@@ -32,6 +32,9 @@ from py4cast_tpu.models.unet import _bilinear_resize
 
 @dataclass(frozen=True)
 class UNetRPPSettings:
+    #: see SwinUNetRSettings.DROPOUT_FIELDS — trainer rng plumbing
+    DROPOUT_FIELDS = ("dropout_rate",)
+
     hidden_size: int = 256
     num_heads_encoder: int = 16
     num_heads_decoder: int = 4

@@ -245,13 +245,30 @@ def use_pallas_attention(
     bound: UNETR++ EPA with head_dim 16 measured 23 vs 32 samples/s."""
     import os
 
+    env_on = os.environ.get("P4T_FUSED_ATTENTION") == "1"
     on = (
-        (requested or os.environ.get("P4T_FUSED_ATTENTION") == "1")
+        (requested or env_on)
         and _target_platform() == "tpu"
         and lk <= MAX_KV_VMEM_TOKENS
         and head_dim >= 32
         and not spatially_sharded()
     )
+    if on and env_on and not requested:
+        # the kernel engages ONLY because of the env var, against the
+        # model's own attention_code (xla/torch) — the inverse of the
+        # silent-fallback trap: say so once, so an A/B export left in
+        # the environment can't silently flip a production model's
+        # attention backend (ADVICE r4)
+        key = ("env-forced", lk, head_dim)
+        if key not in _ENV_OVERRIDE_WARNED:
+            _ENV_OVERRIDE_WARNED.add(key)
+            import warnings
+
+            warnings.warn(
+                "P4T_FUSED_ATTENTION=1 is overriding the model's "
+                "attention_code (xla) and forcing the Pallas kernel; "
+                "unset it unless this A/B override is intentional."
+            )
     if requested and not on:
         # the model EXPLICITLY asked for the kernel (attention_code):
         # a silent fallback would be the same parity trap as an ignored

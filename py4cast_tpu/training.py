@@ -32,7 +32,11 @@ import numpy as np
 import optax
 from flax.training.train_state import TrainState
 
-from py4cast_tpu.checkpoint import CheckpointManager
+from py4cast_tpu.checkpoint import (
+    CheckpointManager,
+    check_format_version,
+    load_manifest,
+)
 from py4cast_tpu.datasets.base import DatasetInfo, ItemBatch
 from py4cast_tpu.losses import CombinedLoss
 from py4cast_tpu.models import ModelType, build_model_from_settings, get_model_kls_and_settings
@@ -244,12 +248,32 @@ class AutoRegressiveModule:
         # active dropout / stochastic depth? (reference settings surface:
         # swinunetr.yaml drop rates, unetrpp.yaml dropout_rate) — when any
         # rate is nonzero, train-time rollouts pass a per-step rng and
-        # apply the model with deterministic=False
-        self._dropout_active = any(
-            float(getattr(self.model_settings, f, 0.0) or 0.0) > 0.0
-            for f in ("drop_rate", "attn_drop_rate", "dropout_path_rate",
-                      "dropout_rate")
+        # apply the model with deterministic=False. The field list is
+        # DECLARED by each settings class (DROPOUT_FIELDS) rather than
+        # probed by name here, so a new model exposing dropout under a
+        # different name can't silently train deterministically: any
+        # nonzero *drop*-named field NOT declared is rejected at build.
+        declared = tuple(
+            getattr(type(self.model_settings), "DROPOUT_FIELDS", ())
         )
+        self._dropout_active = any(
+            float(getattr(self.model_settings, f) or 0.0) > 0.0
+            for f in declared
+        )
+        if dataclasses.is_dataclass(self.model_settings):
+            undeclared = [
+                f.name for f in dataclasses.fields(self.model_settings)
+                if "drop" in f.name and f.name not in declared
+                and float(getattr(self.model_settings, f.name) or 0.0) > 0.0
+            ]
+            if undeclared:
+                raise ValueError(
+                    f"{type(self.model_settings).__name__} has nonzero "
+                    f"dropout-like fields {undeclared} not listed in its "
+                    "DROPOUT_FIELDS — declare them so train-time rollouts "
+                    "thread an rng (otherwise the rate would be a silent "
+                    "no-op)."
+                )
 
         self.rollout_cfg = RolloutConfig(
             strategy=settings.training_strategy,
@@ -306,9 +330,9 @@ class AutoRegressiveModule:
                 cpu = None
             if cpu is not None:
                 with jax.default_device(cpu):
-                    variables = tiny_model.init(rng, x)
+                    variables = jax.jit(tiny_model.init)(rng, x)
             else:
-                variables = tiny_model.init(rng, x)
+                variables = jax.jit(tiny_model.init)(rng, x)
             rep = replicated(self.mesh)
             self._graph_buffers = {
                 k: put_global(np.asarray(v), rep)
@@ -321,7 +345,11 @@ class AutoRegressiveModule:
         # conv/ViT init on CPU too: XLA-CPU compiles the throwaway init
         # program in seconds, where a (possibly remote) TPU round-trip
         # takes minutes for the big architectures — weights then upload
-        # ONCE in init_state
+        # ONCE in init_state. Init is JITTED so XLA dead-code-eliminates
+        # the full-resolution forward pass (param values depend only on
+        # the rng): eager init EXECUTED the whole 512×640 forward op by
+        # op on the CPU — measured 136 s for UNetRPP hidden-1024 vs
+        # 26 s jitted (and warm-cache runs skip even that compile).
         try:
             cpu = jax.local_devices(backend="cpu")[0]  # local: multi-host safe
         except RuntimeError:
@@ -329,13 +357,13 @@ class AutoRegressiveModule:
         if cpu is not None:
             try:
                 with jax.default_device(cpu):
-                    variables = self.model.init(rng, x)
+                    variables = jax.jit(self.model.init)(rng, x)
             except Exception:
                 # a device-specific lowering path refused the CPU —
                 # fall back to initializing on the default backend
-                variables = self.model.init(rng, x)
+                variables = jax.jit(self.model.init)(rng, x)
         else:
-            variables = self.model.init(rng, x)
+            variables = jax.jit(self.model.init)(rng, x)
         if hasattr(self.model, "load_pretrained"):
             # pretrained encoder injection (reference: encoder_weights,
             # config/CLI/model/customunet.yaml)
@@ -738,8 +766,13 @@ class AutoRegressiveModule:
     def manifest(self) -> dict:
         """Self-describing artifact metadata (reference: lightning.py:338-354)."""
         spatial = ("ngrid",) if self.is_graph else ("lat", "lon")
+        from py4cast_tpu.checkpoint import CHECKPOINT_FORMAT_VERSION
+
         return {
             "framework": "py4cast_tpu",
+            # param-semantics version; restores gate on it loudly
+            # (checkpoint.check_format_version)
+            "checkpoint_format": CHECKPOINT_FORMAT_VERSION,
             "model_name": self.settings.model_name,
             "model_settings": self.model_settings,
             "training_settings": dataclasses.asdict(self.settings),
@@ -771,6 +804,7 @@ def check_manifest_contract(manifest: dict, dataset_info: DatasetInfo):
     so a train/predict drift in ANY of them errors loudly instead of
     silently mis-normalizing predictions.
     """
+    check_format_version(manifest)
     problems = []
     out_names = list(dataset_info.output_feature_names)
     if out_names != list(manifest["output_feature_names"]):
@@ -916,6 +950,15 @@ class Trainer:
             module.manifest() if self.is_main else None,
         )
         if ckpt_path:
+            # param-semantics gate BEFORE restore: a format-1 SwinUNetR/
+            # UNetRPP tree could partially alias the current one and
+            # compute silently-different outputs (checkpoint.py history)
+            try:
+                old_manifest = load_manifest(Path(ckpt_path))
+            except FileNotFoundError:
+                old_manifest = None  # raw orbax tree; nothing to check
+            if old_manifest is not None:
+                check_format_version(old_manifest)
             state = ckpt.restore(ckpt_path, state)
             print(f"Resumed from checkpoint {ckpt_path}")
 

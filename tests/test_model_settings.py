@@ -79,6 +79,9 @@ def test_norm_layer_instance_is_per_channel_groupnorm():
     x = jax.random.normal(jax.random.key(0), (2, 8, 8, 4))
     inst = norm_layer("instance", 4)
     v = inst.init(jax.random.key(1), x)
+    # affine-FREE, matching torch InstanceNorm2d affine=False (the
+    # reference zoo's default via monai) — no scale/bias leaves at all
+    assert not jax.tree_util.tree_leaves(v)
     y = inst.apply(v, x)
     # per-(sample, channel) statistics are normalized over space only
     m = jnp.mean(y, axis=(1, 2))
