@@ -4,21 +4,30 @@
 Runs the four bench models (HalfUNet, UNetRPP, GraphLAM, HiLAM) on
 Titan-sized grids (512×640 CNN/ViT; 500×500 GNN — the reference's only
 recorded training-speed config), scaled_ar, batch 1, and prints ONE
-JSON line per model: samples/s/chip, MFU (XLA cost-analysis flops /
+JSON line per model: samples/s/chip, MFU (analytic jaxpr FLOPs /
 wall / peak), and compile seconds. The FINAL line is the headline:
 HiLAM against the reference's like-for-like HiLAM baseline (1.53 it/s,
 1 AR step, batch 1, 500×500, V100 — reference doc/num_steps.md:119-121),
-with every model's numbers embedded.
+with every model's numbers embedded — including, per model, its BEST
+measured batch config (`best`) once the batch-scaling extras have run.
 
 Timing uses BENCH_MODE=scan (all steps inside ONE lax.scan dispatch) so
 per-dispatch tunnel latency does not pollute the device rate; completion
 is forced by a scalar value transfer (block_until_ready is unreliable
 through remote TPU tunnels).
 
-Batch-scaling extras (HalfUNet/UNetRPP at batch 8, the MFU story) run
-after their base models behind elapsed-time gates, so the four headline
-models always land inside the driver's budget even when the remote
-compile service is slow.
+The HBM roofline fraction divides the PADDED-TRAFFIC model
+(ops/hlo_bytes.py: top-level post-fusion instructions, tile-padded,
+while-bodies × trip count, in-place update-slices amortized) by the
+measured step time and peak bandwidth — XLA's raw `bytes accessed`
+estimate is kept as `hbm_bytes_xla_GB` for comparison, but it is an
+upper bound that previously produced unfalsifiable fractions >1.
+
+Budget discipline: modules and train states are CACHED per
+(model, features, grid) and reused by the batch-scaling extras — a
+second batch size re-times a new program but never re-initializes
+params. Extras run behind remaining-budget gates so the four headline
+models always land inside the driver's budget.
 
 Env knobs: BENCH_MODEL (one model instead of all), BENCH_BATCH,
 BENCH_STEPS, BENCH_PRECISION, BENCH_MODE=scan|loop, BENCH_BUDGET_S,
@@ -124,37 +133,26 @@ def peak_hbm():
     return _peak(PEAK_HBM, 819e9)
 
 
-def bench_model(model: str, batch_size: int, n_steps: int, precision: str,
-                mode: str, num_pred_steps: int = 1,
-                weather_features: int = 21, forcing_features: int = 21,
-                grid_override=None, metric_suffix: str = "",
-                remat=None) -> dict:
+#: (model, weather_features, forcing_features, grid, precision, remat)
+#: -> (module, state) — batch-scaling extras reuse the headline model's
+#: initialized state instead of paying init (23-136 s measured) again
+_MODULE_CACHE = {}
+
+
+def _get_module_state(model: str, grid, init_args, precision: str,
+                      remat: bool, weather_features: int,
+                      forcing_features: int, phase):
     import jax
-    import jax.numpy as jnp
 
     from py4cast_tpu.parallel.mesh import MeshConfig, make_mesh
-    from py4cast_tpu.testing import (
-        synthetic_dataset_info,
-        synthetic_device_arrays,
-    )
+    from py4cast_tpu.testing import synthetic_dataset_info
     from py4cast_tpu.training import AutoRegressiveModule, TrainingSettings
 
-    t_model = time.perf_counter()
-
-    def phase(label):  # stderr timeline for perf triage of the bench itself
-        print(f"#   [{model} {time.perf_counter() - t_model:6.1f}s] {label}",
-              file=sys.stderr, flush=True)
-
-    grid, init_args = CONFIGS.get(
-        model, ZOO_CONFIGS.get(model, ((512, 640), {}))
-    )
-    if grid_override is not None:
-        grid = grid_override
-    if os.environ.get("BENCH_GRID"):  # debug/smoke override
-        h, w = (int(v) for v in os.environ["BENCH_GRID"].split("x"))
-        grid = (h, w)
-    if remat is None:
-        remat = os.environ.get("BENCH_REMAT") == "1"
+    key = (model, weather_features, forcing_features, tuple(grid),
+           precision, remat)
+    if key in _MODULE_CACHE:
+        phase("module+state from cache")
+        return _MODULE_CACHE[key]
     info = synthetic_dataset_info(
         grid_shape=grid, weather_features=weather_features,
         forcing_features=forcing_features,
@@ -176,6 +174,40 @@ def bench_model(model: str, batch_size: int, n_steps: int, precision: str,
     phase("module built (graph build + statics staged)")
     state = module.init_state(jax.random.key(0), num_training_steps=1000)
     phase("state initialized")
+    _MODULE_CACHE[key] = (module, state)
+    return module, state
+
+
+def bench_model(model: str, batch_size: int, n_steps: int, precision: str,
+                mode: str, num_pred_steps: int = 1,
+                weather_features: int = 21, forcing_features: int = 21,
+                grid_override=None, metric_suffix: str = "",
+                remat=None) -> dict:
+    import jax
+    import jax.numpy as jnp
+
+    from py4cast_tpu.testing import synthetic_device_arrays
+
+    t_model = time.perf_counter()
+
+    def phase(label):  # stderr timeline for perf triage of the bench itself
+        print(f"#   [{model} {time.perf_counter() - t_model:6.1f}s] {label}",
+              file=sys.stderr, flush=True)
+
+    grid, init_args = CONFIGS.get(
+        model, ZOO_CONFIGS.get(model, ((512, 640), {}))
+    )
+    if grid_override is not None:
+        grid = grid_override
+    if os.environ.get("BENCH_GRID"):  # debug/smoke override
+        h, w = (int(v) for v in os.environ["BENCH_GRID"].split("x"))
+        grid = (h, w)
+    if remat is None:
+        remat = os.environ.get("BENCH_REMAT") == "1"
+    module, state = _get_module_state(
+        model, grid, init_args, precision, remat, weather_features,
+        forcing_features, phase,
+    )
     rng = jax.random.key(1)
     # synthetic batch generated DIRECTLY on device (no ~100 MB host→
     # device upload through the tunnel), and EVERYTHING device-resident
@@ -234,13 +266,14 @@ def bench_model(model: str, batch_size: int, n_steps: int, precision: str,
         dt = min(dts)
         assert total == total, "loss is NaN"
         phase("timed runs done")
+        traffic_steps = n_steps  # entry contains the outer n-step while
     else:
         t0 = time.perf_counter()
-        run = (
+        lowered = (
             jax.jit(one_step)
             .lower(state, inputs, forcing, outputs, rng, buffers)
-            .compile()
         )
+        run = lowered.compile()
         compile_s = time.perf_counter() - t0
         ca = run.cost_analysis()
         for _ in range(3):
@@ -251,6 +284,7 @@ def bench_model(model: str, batch_size: int, n_steps: int, precision: str,
             state, loss = run(state, inputs, forcing, outputs, rng, buffers)
         float(loss)
         dt = time.perf_counter() - t0
+        traffic_steps = 1
 
     if isinstance(ca, list):
         ca = ca[0] if ca else {}
@@ -261,21 +295,29 @@ def bench_model(model: str, batch_size: int, n_steps: int, precision: str,
     # processor sweeps) get undercounted by their depth, which is why
     # MFU comes from the analytic jaxpr walker (ops/flops.py) instead.
     flops_xla = float(ca.get("flops", 0.0))
-    bytes_per_step = float(ca.get("bytes accessed", 0.0))
+    bytes_xla = float(ca.get("bytes accessed", 0.0))
     from py4cast_tpu.ops.flops import step_flops
 
     flops_per_step = step_flops(
         one_step, state, inputs, forcing, outputs, rng, buffers
     )
+    phase("flops walked")
+    # padded-traffic byte model over the optimized HLO (the falsifiable
+    # roofline numerator — see module docstring); one entry execution
+    # covers `traffic_steps` training steps
+    from py4cast_tpu.ops.hlo_bytes import hbm_traffic_bytes
+
+    try:
+        bytes_per_step = hbm_traffic_bytes(run.as_text()) / traffic_steps
+    except Exception as e:  # pragma: no cover — never kill a timed row
+        print(f"# traffic model failed ({type(e).__name__}: {e}); "
+              "falling back to the XLA estimate", file=sys.stderr)
+        bytes_per_step = bytes_xla
+    phase("traffic modeled")
 
     sps = n_steps * batch_size / dt
     step_s = dt / n_steps
     mfu = flops_per_step / step_s / peak_flops()
-    #: fraction of the HBM-bandwidth roofline this step sustains (bytes
-    #: are XLA's HLO-level estimate — an upper bound on true traffic, so
-    #: the fraction can exceed 1 when fusion removes round-trips; inner
-    #: nn.scan bodies are counted once, an UNDER-count for scanned
-    #: stages, so treat this as indicative, not exact)
     hbm_frac = bytes_per_step / step_s / peak_hbm()
     suffix = metric_suffix or (f"_b{batch_size}" if batch_size != 1 else "")
     return {
@@ -292,10 +334,12 @@ def bench_model(model: str, batch_size: int, n_steps: int, precision: str,
             2,
         ),
         **({"num_pred_steps": num_pred_steps} if num_pred_steps != 1 else {}),
+        "model": model,
         "mfu": round(mfu, 4),
         "flops_per_step_G": round(flops_per_step / 1e9, 1),
         "flops_xla_G": round(flops_xla / 1e9, 1),
         "hbm_bytes_per_step_GB": round(bytes_per_step / 1e9, 2),
+        "hbm_bytes_xla_GB": round(bytes_xla / 1e9, 2),
         "hbm_roofline_frac": round(hbm_frac, 3),
         "compile_seconds": round(compile_s, 1),
         "batch_size": batch_size,
@@ -306,6 +350,13 @@ def main():
     from py4cast_tpu.settings import enable_compilation_cache
 
     enable_compilation_cache()
+    cache_dir = Path(os.environ.get("JAX_COMPILATION_CACHE_DIR",
+                                    "/tmp/p4t_xla_cache"))
+    # cold/warm attribution for compile_seconds deltas across rounds
+    # (VERDICT r4: HiLAM 13 s vs 44 s was a cache-state artifact)
+    cache_state = (
+        "warm" if cache_dir.is_dir() and any(cache_dir.iterdir()) else "cold"
+    )
     batch_size = int(os.environ.get("BENCH_BATCH", "1"))
     n_steps = int(os.environ.get("BENCH_STEPS", "20"))
     precision = os.environ.get("BENCH_PRECISION", "bf16")
@@ -315,16 +366,32 @@ def main():
     def headline_line(results):
         # like-for-like HiLAM vs the reference HiLAM baseline, carrying
         # every model measured so far — printed cumulatively after each
-        # model, so even a timeout-killed run ends on a complete record
+        # model, so even a timeout-killed run ends on a complete record.
+        # Per model, `best` is the highest-samples/s row measured across
+        # ALL its batch/variant rows (the batch-scaling extras promote
+        # their result here — VERDICT r4 #1).
         ok = {m: r for m, r in results.items() if "error" not in r} or results
         head = ok.get(HEADLINE_MODEL, list(ok.values())[-1])
         headline = dict(head)
-        headline["models"] = {
-            m: {k: r[k] for k in ("value", "vs_baseline", "mfu",
-                                  "compile_seconds", "batch_size", "error")
-                if k in r}
-            for m, r in results.items()
-        }
+        headline["compile_cache"] = cache_state
+        models = {}
+        for key, r in results.items():
+            name = r.get("model", key)
+            slot = models.setdefault(name, {})
+            row = {k: r[k] for k in ("value", "vs_baseline", "mfu",
+                                     "hbm_roofline_frac", "compile_seconds",
+                                     "batch_size", "num_pred_steps", "error")
+                   if k in r}
+            if key == name:
+                slot.update(row)
+            # best-batch promotion: plain batch rows only (a 3-AR-step or
+            # ensemble row measures a different workload)
+            if ("error" not in r and "num_pred_steps" not in r
+                    and "poesy" not in r.get("metric", "")
+                    and r["value"] > slot.get("best", {}).get("value", 0.0)):
+                slot["best"] = {"value": r["value"], "mfu": r.get("mfu"),
+                                "batch_size": r.get("batch_size")}
+        headline["models"] = models
         return json.dumps(headline)
 
     t_start = time.perf_counter()
@@ -343,6 +410,7 @@ def main():
             r = {"metric": (f"{model.lower()}_{grid[0]}x{grid[1]}"
                             f"_train_samples_per_sec_per_chip{suffix}"),
                  "value": 0.0, "unit": "samples/s", "vs_baseline": 0.0,
+                 "model": model,
                  "error": f"{type(e).__name__}: {e}"[:300]}
         results[key] = r
         print(json.dumps(r), flush=True)
@@ -359,9 +427,9 @@ def main():
     #   member-dim chip cost round 3 never did
     EXTRA_SPECS = {
         # at the reference's hidden-1024 config UNetRPP b8 exceeds v5e
-        # HBM (b1 already streams 41 GB/step). Measured scaling: b2 plain
-        # 18.9 samples/s (18.4% MFU) beats b1 17.7 AND b4+remat 16.7
-        # (remat recompute costs ~6% goodput) — b2 is the scaling extra
+        # HBM (b1 already streams ~20 GB/step). Measured scaling: b2
+        # plain beats b1 AND b4+remat (remat recompute costs ~6%
+        # goodput) — b2 is the scaling extra
         "UNetRPP:4r": dict(model="UNetRPP", bs=4, remat=True),
         "UNetRPP:2": dict(model="UNetRPP", bs=2),
         "HiLAM:3step": dict(model="HiLAM", bs=1, num_pred_steps=3,
@@ -406,14 +474,15 @@ def main():
     if not only:
         # extras in baseline-importance order: the 3-step row and the
         # member-dim row complete the reference baseline table
-        # (doc/num_steps.md:121, poesy DATA_SHAPE), batch scaling
-        # re-tells a story doc/performance.md already records. The cost
-        # estimates are measured warm-cache walls (err-log phase lines)
-        # with ~30% headroom.
-        run_extra(os.environ.get("BENCH_EXTRA1", "HiLAM:3step"), 80)
+        # (doc/num_steps.md:121, poesy DATA_SHAPE), then batch scaling
+        # promotes best-batch rows into the headline `models` dict.
+        # Cost estimates are measured warm-cache walls (err-log phase
+        # lines) with ~30% headroom; state init amortizes through the
+        # module cache so extras cost compile+timing only.
+        run_extra(os.environ.get("BENCH_EXTRA1", "HiLAM:3step"), 70)
         run_extra(os.environ.get("BENCH_EXTRA2", "Poesy:members16"), 50)
         run_extra(os.environ.get("BENCH_EXTRA3", "HalfUNet:8"), 30)
-        run_extra(os.environ.get("BENCH_EXTRA4", "UNetRPP:2"), 90)
+        run_extra(os.environ.get("BENCH_EXTRA4", "UNetRPP:2"), 60)
 
 
 if __name__ == "__main__":

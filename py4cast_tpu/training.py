@@ -342,28 +342,38 @@ class AutoRegressiveModule:
         spatial = self.model.input_shape
         x = jnp.zeros((1,) + spatial + (self.num_input_features,), jnp.float32)
         self._graph_buffers = {}
-        # conv/ViT init on CPU too: XLA-CPU compiles the throwaway init
-        # program in seconds, where a (possibly remote) TPU round-trip
-        # takes minutes for the big architectures — weights then upload
-        # ONCE in init_state. Init is JITTED so XLA dead-code-eliminates
-        # the full-resolution forward pass (param values depend only on
-        # the rng): eager init EXECUTED the whole 512×640 forward op by
-        # op on the CPU — measured 136 s for UNetRPP hidden-1024 vs
-        # 26 s jitted (and warm-cache runs skip even that compile).
-        try:
-            cpu = jax.local_devices(backend="cpu")[0]  # local: multi-host safe
-        except RuntimeError:
-            cpu = None
-        if cpu is not None:
-            try:
-                with jax.default_device(cpu):
-                    variables = jax.jit(self.model.init)(rng, x)
-            except Exception:
-                # a device-specific lowering path refused the CPU —
-                # fall back to initializing on the default backend
-                variables = jax.jit(self.model.init)(rng, x)
-        else:
+        # Init is JITTED so XLA dead-code-eliminates the full-resolution
+        # forward pass (param values depend only on the rng). Device
+        # choice, both measured on UNetRPP hidden-1024 @ 512×640:
+        # - single process with an accelerator: init ON the accelerator
+        #   (26 s cold incl. compile, seconds warm via the persistent
+        #   compile cache; params then stay on device — init_state
+        #   reshards device-to-device, no host round trip);
+        # - multi-host (or CPU-only): init on XLA-CPU — every process
+        #   must hold identical host params to feed its addressable
+        #   shards (put_global), and a remote-device download of the
+        #   full payload per host would cost more than the CPU compile.
+        # (Round-3 history: EAGER init executed the full forward op by
+        # op — 136 s on CPU; the CPU *jit compile* of this model is
+        # also ~130 s on a 1-core host, which is why single-process
+        # prefers the accelerator.)
+        if jax.process_count() == 1 and jax.default_backend() != "cpu":
             variables = jax.jit(self.model.init)(rng, x)
+        else:
+            try:
+                cpu = jax.local_devices(backend="cpu")[0]
+            except RuntimeError:
+                cpu = None
+            if cpu is not None:
+                try:
+                    with jax.default_device(cpu):
+                        variables = jax.jit(self.model.init)(rng, x)
+                except Exception:
+                    # a device-specific lowering path refused the CPU —
+                    # fall back to initializing on the default backend
+                    variables = jax.jit(self.model.init)(rng, x)
+            else:
+                variables = jax.jit(self.model.init)(rng, x)
         if hasattr(self.model, "load_pretrained"):
             # pretrained encoder injection (reference: encoder_weights,
             # config/CLI/model/customunet.yaml)
@@ -401,7 +411,16 @@ class AutoRegressiveModule:
         tx = self.make_optimizer(num_training_steps)
         rep = replicated(self.mesh)
         params = jax.tree.map(
-            lambda x: put_global(np.asarray(x), rep) if hasattr(x, "shape") else x,
+            # device-resident leaves (single-process accelerator init)
+            # reshard device-to-device; host leaves upload once. Going
+            # through np.asarray unconditionally would DOWNLOAD the
+            # full payload through the (possibly remote) device link
+            # just to re-upload it.
+            lambda x: (
+                jax.device_put(x, rep)
+                if isinstance(x, jax.Array) and jax.process_count() == 1
+                else put_global(np.asarray(x), rep)
+            ) if hasattr(x, "shape") else x,
             params,
         )
 
