@@ -64,17 +64,29 @@ def main(argv=None) -> int:
     from py4cast_tpu.models.unet import ResNetEncoder
 
     class DenoiseAE(nn.Module):
+        """UNet-style decoder WITH skip connections: a pure 2×2
+        bottleneck decoder collapses to predicting the field mean
+        (measured: plain ReLU decoder dies — gradnorm → 0 with MSE
+        pinned at 1.0) and trains the encoder nothing; skips force
+        every encoder stage to carry usable features, which is exactly
+        what the downstream CustomUNet/DeepLab consume."""
+
         encoder_name: str
 
         @nn.compact
         def __call__(self, x):
             feats = ResNetEncoder(self.encoder_name, 5, name="encoder")(x)
             y = feats[-1]
-            for f in (128, 64, 32, 16, 8):
-                b, h, w, _ = y.shape
-                y = jax.image.resize(y, (b, h * 2, w * 2, y.shape[-1]),
-                                     "nearest")
-                y = nn.relu(nn.Conv(f, (3, 3))(y))
+            for skip in reversed(feats[:-1]):
+                b, h, w, _ = skip.shape
+                y = jax.image.resize(y, (b, h, w, y.shape[-1]), "nearest")
+                y = jnp.concatenate([y, skip], axis=-1)
+                y = nn.GroupNorm(num_groups=8)(nn.Conv(64, (3, 3))(y))
+                y = nn.gelu(y)
+            b, h, w, _ = y.shape
+            y = jax.image.resize(y, (b, x.shape[1], x.shape[2], y.shape[-1]),
+                                 "nearest")
+            y = nn.gelu(nn.GroupNorm(num_groups=8)(nn.Conv(32, (3, 3))(y)))
             return nn.Conv(x.shape[-1], (1, 1))(y)
 
     rng = np.random.default_rng(args.seed)

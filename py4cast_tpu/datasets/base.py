@@ -175,6 +175,34 @@ class Statics:
         flat.interior_mask = self.interior_mask.reshape(-1, 1)
         return flat
 
+    def pad_lat(self, pad: int) -> "Statics":
+        """Padded copy with ``pad`` extra lat rows appended, ALL marked
+        as border (border_mask 1, interior 0): padded rows never enter
+        loss/metric denominators and are border-forced during rollouts,
+        so a grid whose lat size does not divide the spatial mesh axis
+        (the full-res 1791×2801 1S100 grid: 1791 = 3²·199 — reference
+        datasets/titan/metadata.yaml:64-74) can still shard. Coordinate
+        channels extrapolate the row spacing so GNN graph builders see
+        monotone node positions."""
+        if pad <= 0:
+            return self
+        arr = np.asarray(self.grid_statics.array, np.float32)
+        names = list(self.grid_statics.feature_names)
+        tail = np.zeros((pad,) + arr.shape[1:], arr.dtype)
+        if arr.shape[0] >= 2:
+            step = arr[-1] - arr[-2]
+            for k in range(pad):
+                tail[k] = arr[-1] + (k + 1) * step
+        tail[..., names.index("border_mask")] = 1.0
+        return Statics(
+            grid_statics=NamedArray(
+                np.concatenate([arr, tail], axis=0),
+                self.grid_statics.names,
+                self.grid_statics.feature_names,
+            ),
+            grid_shape=(self.grid_shape[0] + pad, self.grid_shape[1]),
+        )
+
 
 @dataclass
 class DatasetInfo:

@@ -224,12 +224,43 @@ class Traffic:
         return self.per_iter + self.amortized
 
 
+def _comps_containing(comps: Dict[str, Computation], opcode: str) -> set:
+    """Names of computations containing ``opcode``, transitively through
+    nested fusion calls (XLA hides update/slice ops INSIDE kOutput/kLoop
+    fusion bodies — the call-site name alone is not reliable)."""
+    found = {
+        name for name, c in comps.items()
+        if any(i.opcode == opcode for i in c.instrs)
+    }
+    changed = True
+    while changed:
+        changed = False
+        for name, c in comps.items():
+            if name in found:
+                continue
+            for i in c.instrs:
+                if i.opcode == "fusion":
+                    m = _ATTR_REF["calls"].search(i.attrs)
+                    if m and m.group(1) in found:
+                        found.add(name)
+                        changed = True
+                        break
+    return found
+
+
 class TrafficModel:
     def __init__(self, comps: Dict[str, Computation], padded: bool = True):
         self.comps = comps
         self.padded = padded
         self._memo: Dict[str, Traffic] = {}
         self.by_opcode: Dict[str, float] = defaultdict(float)
+        #: fused computations performing in-place stacking / windowed
+        #: reads — their call sites must be charged at update/slice
+        #: granularity, not full-buffer (a lax.scan saving rollout
+        #: residuals otherwise gets its stacked buffers charged once
+        #: PER ITERATION — measured 4x overcount on 3-AR-step programs)
+        self._dus_comps = _comps_containing(comps, "dynamic-update-slice")
+        self._dslice_comps = _comps_containing(comps, "dynamic-slice")
 
     def _bytes(self, text: str) -> int:
         return shape_bytes(text, padded=self.padded, hbm_only=True)
@@ -329,14 +360,16 @@ class TrafficModel:
             if ins.opcode == "fusion":
                 cm = _ATTR_REF["calls"].search(ins.attrs)
                 fused_name = cm.group(1) if cm else ""
-            dus_like = "dynamic-update-slice" in ins.name or (
-                "dynamic-update-slice" in fused_name
-            ) or ins.opcode == "dynamic-update-slice"
+            dus_like = (
+                ins.opcode == "dynamic-update-slice"
+                or "dynamic-update-slice" in ins.name
+                or fused_name in self._dus_comps
+            )
             slice_like = ins.opcode in ("slice", "dynamic-slice", "gather") or (
                 ins.opcode == "fusion"
                 and not dus_like
-                and ("dynamic-slice" in fused_name or "gather" in fused_name
-                     or "dynamic-slice" in ins.name or "gather" in ins.name)
+                and ("gather" in fused_name or "gather" in ins.name
+                     or fused_name in self._dslice_comps)
             )
             res = self._bytes(ins.shape_text)
             if dus_like:
@@ -354,7 +387,18 @@ class TrafficModel:
                 self.by_opcode[ins.opcode + "(dus)"] += res + 2 * small_ops
                 continue
             if slice_like:
-                contrib = 2 * res  # read ≈result bytes from operand + write
+                if ins.opcode == "fusion":
+                    # a fused windowed read: the sliced operand is read
+                    # at ≈result granularity, every other operand in
+                    # full (backward fusions read sliced residuals plus
+                    # full-size weights/carries)
+                    contrib = res + sum(
+                        min(b, res) for n in ins.operands
+                        if (b := self._bytes(
+                            defs.get(n, comp.params.get(n, ""))))
+                    )
+                else:
+                    contrib = 2 * res  # read ≈result bytes + write
                 t.per_iter += contrib
                 self.by_opcode[ins.opcode + "(slice)"] += contrib
                 continue

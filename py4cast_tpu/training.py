@@ -112,10 +112,21 @@ class AutoRegressiveModule:
         settings: TrainingSettings,
         dataset_info: DatasetInfo,
         mesh=None,
+        lat_multiple: Optional[int] = None,
     ):
+        """``lat_multiple``: pad the lat dim up to a multiple of this
+        (default: the mesh's spatial axis extent). Lets grids whose lat
+        size does not divide the spatial mesh shard anyway — the
+        motivating case is the full-resolution 1S100 grid, 1791×2801
+        with 1791 = 3²·199 (reference datasets/titan/metadata.yaml:64-74
+        and the minimal-divisible-domain remark, access.py:176-180).
+        Padded rows are all-border: excluded from loss/metric
+        denominators, border-forced in rollouts, and sliced off every
+        host-facing prediction."""
         self.settings = settings
         self.dataset_info = dataset_info
         self.mesh = mesh if mesh is not None else make_mesh(MeshConfig())
+        self._lat_multiple = lat_multiple
         self.compute_dtype = str_to_dtype.get(settings.precision, jnp.float32)
 
         statics = dataset_info.statics
@@ -147,6 +158,25 @@ class AutoRegressiveModule:
                 f"GRAPH models ({settings.model_name}): block masking "
                 "operates on the (lat, lon) grid layout. Set "
                 "mask_ratio: 0."
+            )
+
+        # --- lat padding for spatial sharding (see __init__ docstring):
+        # the pad is an internal device-layout detail — dataset_info,
+        # manifests and every host-facing array keep the ORIGINAL grid
+        from py4cast_tpu.parallel.mesh import SPATIAL_AXIS as _SP_AXIS
+
+        _n_spatial = int(self.mesh.shape[_SP_AXIS])
+        _multiple = self._lat_multiple or _n_spatial
+        self._lat_pad = (
+            (-statics.grid_shape[0]) % _multiple if _multiple > 1 else 0
+        )
+        self._orig_grid_shape = tuple(statics.grid_shape)
+        if self._lat_pad:
+            statics = statics.pad_lat(self._lat_pad)
+            print(
+                f"Padding lat {self._orig_grid_shape[0]} -> "
+                f"{statics.grid_shape[0]} (all-border rows) so the grid "
+                f"shards over {_multiple} spatial ways"
             )
 
         grid_shape = statics.grid_shape
@@ -181,9 +211,14 @@ class AutoRegressiveModule:
                 "graph) — set spatial=1."
             )
         if spatial_shards > 1 and grid_shape[0] % spatial_shards:
+            # unreachable with the default lat_multiple (= spatial
+            # shards — padding above guarantees divisibility); a custom
+            # lat_multiple that is not a multiple of the mesh axis
+            # still fails loudly here
             raise ValueError(
-                f"Grid lat size {grid_shape[0]} is not divisible by the "
-                f"spatial mesh axis ({spatial_shards})."
+                f"(Padded) grid lat size {grid_shape[0]} is not divisible "
+                f"by the spatial mesh axis ({spatial_shards}); pass a "
+                "lat_multiple that the mesh axis divides."
             )
         # the fused Pallas kernels (stencil/hop/attention) read this to
         # disable themselves under spatial sharding: a pallas_call is an
@@ -202,7 +237,18 @@ class AutoRegressiveModule:
             statics = statics.flatten_spatial()
         gs = np.asarray(statics.grid_statics.array, np.float32)
         bm = np.asarray(statics.border_mask, np.float32)
-        self.interior_mask_np = np.asarray(statics.interior_mask, np.float32)
+        # host-facing interior mask stays UNPADDED: score cards/plotters
+        # consume the sliced-back eval arrays (named_eval_arrays), while
+        # the jitted loss threads the padded mask via step_buffers —
+        # identical interior count either way (pad rows are all border)
+        host_statics = (
+            dataset_info.statics.flatten_spatial()
+            if self.is_graph else dataset_info.statics
+        )
+        self.interior_mask_np = np.asarray(
+            host_statics.interior_mask, np.float32
+        )
+        pad_interior_np = np.asarray(statics.interior_mask, np.float32)
         # grid-sized device buffers are THREADED THROUGH the jitted steps
         # as arguments, never closed over: a closed-over jax.Array is
         # baked into the HLO as a literal constant, bloating every train
@@ -217,8 +263,8 @@ class AutoRegressiveModule:
                 bm, statics_sharding(self.mesh, bm.ndim)
             ),
             "interior_mask": put_global(
-                self.interior_mask_np,
-                statics_sharding(self.mesh, self.interior_mask_np.ndim),
+                pad_interior_np,
+                statics_sharding(self.mesh, pad_interior_np.ndim),
             ),
         }
         # batches are (B, T, lat, lon, F) for grid models and
@@ -637,19 +683,48 @@ class AutoRegressiveModule:
         food = ml_dtypes.bfloat16 if bf16_food else np.float32
         return food, food, np.float32
 
+    def _pad_lat_np(self, a: Optional[np.ndarray]) -> Optional[np.ndarray]:
+        """Zero-pad the lat axis (2) of a host (B, T, lat, lon, F) batch
+        array up to the padded grid — pad rows are all-border, so they
+        never reach the loss (see __init__)."""
+        if a is None or not self._lat_pad:
+            return a
+        widths = [(0, 0)] * a.ndim
+        widths[2] = (0, self._lat_pad)
+        return np.pad(a, widths)
+
+    def _unpad(self, arr):
+        """Slice padded lat rows off a device prediction — every
+        host-facing array (predict output, eval arrays for plotters and
+        metrics) carries the ORIGINAL grid."""
+        if not self._lat_pad:
+            return arr
+        if self.is_graph:
+            # row-major flatten with lat major: the first lat*lon
+            # entries of ngrid are exactly the real rows
+            real = self._orig_grid_shape[0] * self._orig_grid_shape[1]
+            return arr[:, :, :real]
+        return arr[:, :, : self._orig_grid_shape[0]]
+
     def _batch_arrays(self, batch: ItemBatch, with_outputs: bool = True):
         in_dt, fo_dt, out_dt = self.batch_arg_dtypes()
         inputs = self._flatten_graph(
-            jnp.asarray(np.asarray(batch.inputs.array, np.float32).astype(in_dt))
+            jnp.asarray(self._pad_lat_np(
+                np.asarray(batch.inputs.array, np.float32)
+            ).astype(in_dt))
             if batch.inputs is not None
             else None
         )
         forcing = self._flatten_graph(
-            jnp.asarray(np.asarray(batch.forcing.array, np.float32).astype(fo_dt))
+            jnp.asarray(self._pad_lat_np(
+                np.asarray(batch.forcing.array, np.float32)
+            ).astype(fo_dt))
         )
         outputs = (
             self._flatten_graph(
-                jnp.asarray(np.asarray(batch.outputs.array, out_dt))
+                jnp.asarray(self._pad_lat_np(
+                    np.asarray(batch.outputs.array, np.float32)
+                ).astype(out_dt))
             )
             if with_outputs
             else None
@@ -688,7 +763,7 @@ class AutoRegressiveModule:
         inputs, forcing, _ = self._batch_arrays(batch, with_outputs=False)
         fn = self._get_jitted("predict", batch.num_pred_steps)
         preds = fn(state, inputs, forcing, rng, self.step_buffers())
-        return self._named(preds)
+        return self._named(self._unpad(preds))
 
     def check_feature_contract(self, batch: ItemBatch):
         """Inference-time contract check: the batch's feature names must
@@ -727,6 +802,7 @@ class AutoRegressiveModule:
         allgathered to every host — callers then plot/accumulate on
         process 0 only (reference rank-zero gating: plots.py:285,539,621).
         """
+        preds = self._unpad(preds)  # plotters/metrics see the real grid
         outputs_np = np.asarray(batch.outputs.array, np.float32)
         if jax.process_count() > 1:
             from jax.experimental import multihost_utils

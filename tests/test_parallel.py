@@ -131,8 +131,15 @@ def test_graph_table_path_rejects_spatial_sharding():
         )
 
 
-def test_indivisible_spatial_dim_rejected():
+def test_indivisible_spatial_dim_pads_instead_of_rejecting():
+    # round-5 behavior change: a lat dim that does not divide the
+    # spatial mesh axis PADS (all-border rows) instead of erroring —
+    # the 1791-lat full-res story (tests/test_lat_padding.py pins the
+    # loss equivalence). A custom lat_multiple the mesh axis does not
+    # divide still fails loudly.
     mesh = make_mesh(MeshConfig(data_parallel=2, spatial=4))
     info = synthetic_dataset_info(grid_shape=(30, 32), border_size=2)
+    module = AutoRegressiveModule(_settings(), info, mesh=mesh)
+    assert module._lat_pad == 2  # 30 -> 32
     with pytest.raises(ValueError, match="divisible"):
-        AutoRegressiveModule(_settings(), info, mesh=mesh)
+        AutoRegressiveModule(_settings(), info, mesh=mesh, lat_multiple=3)
