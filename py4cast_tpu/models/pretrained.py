@@ -30,8 +30,19 @@ import numpy as np
 from py4cast_tpu.settings import ROOTDIR
 
 
+#: committed fallback artifacts (fp16, produced by
+#: bin/pretrain_encoder.py on synthetic multi-scale fields) so
+#: ``encoder_weights: true`` works out of the box with zero setup
+_REPO_PRETRAINED = Path(__file__).resolve().parents[2] / "data" / "pretrained"
+
+
 def default_weights_path(encoder_name: str) -> Path:
-    return ROOTDIR / "pretrained" / f"{encoder_name}.npz"
+    """User-produced weights (ROOTDIR) win over the committed fallback."""
+    user = ROOTDIR / "pretrained" / f"{encoder_name}.npz"
+    if user.exists():
+        return user
+    bundled = _REPO_PRETRAINED / f"{encoder_name}.npz"
+    return bundled if bundled.exists() else user
 
 
 def adapt_in_channels(kernel: np.ndarray, in_channels: int) -> np.ndarray:
