@@ -20,16 +20,30 @@ RAINFALL_PATH = Path(
 
 
 def _host_fingerprint() -> str:
-    """Short hash of the host CPU's capabilities. XLA:CPU cache entries
-    are AOT machine code for the COMPILING host's feature set — loading
-    them after a VM migration onto a host with different features risks
-    SIGILL (observed on this fleet: amx/avx512 feature drift between
-    rounds). Keying the cache dir by the live feature set makes stale
-    entries unreachable instead of dangerous."""
+    """Short hash of the host CPU's capabilities AND the session's
+    platform config. XLA:CPU cache entries are AOT machine code for the
+    COMPILING client's target-feature set — two hazards make a shared
+    dir dangerous:
+
+    - VM migration onto a host with different features risks SIGILL
+      (observed on this fleet: amx/avx512 feature drift between rounds);
+    - the CPU client of a pure-CPU session (``JAX_PLATFORMS=cpu``) and
+      the CPU backend of an accelerator session compile with different
+      XLA pseudo-features (``+prefer-no-scatter``/``+prefer-no-gather``)
+      that are NOT part of the cache key, so each loads the other's
+      entries with a machine-feature mismatch (cpu_aot_loader "could
+      lead to SIGILL" error; observed as a cold-init HANG in round 5).
+
+    Keying the cache dir by the live feature set + platform config +
+    jax version makes such entries unreachable instead of dangerous."""
     import hashlib
     import platform
 
+    import jax
+
     txt = platform.machine()
+    txt += "|platforms=" + os.environ.get("JAX_PLATFORMS", "")
+    txt += "|jax=" + jax.__version__
     try:
         with open("/proc/cpuinfo") as f:
             for line in f:
