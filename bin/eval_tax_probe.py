@@ -81,21 +81,33 @@ def main():
     rng = jax.random.key(0)
 
     def block(tree):
-        jax.tree_util.tree_map(
-            lambda x: x.block_until_ready() if hasattr(
-                x, "block_until_ready") else x, tree)
+        # through a remote-TPU tunnel block_until_ready is unreliable
+        # (see bench.py) — force completion with ONE scalar transfer
+        # that depends on every device leaf (in-order execution makes
+        # it a barrier; the reduce itself is sub-ms)
+        import jax.numpy as jnp
+
+        leaves = [x for x in jax.tree_util.tree_leaves(tree)
+                  if isinstance(x, jax.Array)]
+        if leaves:
+            float(sum(jnp.sum(jnp.abs(x[..., :1]).astype(jnp.float32))
+                      for x in leaves))
 
     # ---- warmup (compiles eval_step + metric updates)
     preds, per_step = module.eval_step(state, batch, rng)
     block((preds, per_step))
+    phase("warmup: eval_step compiled")
     pred_na, target_na, mask = module.named_eval_arrays(preds, batch)
     block((pred_na.array, target_na.array, mask))
+    phase("warmup: arrays")
     for k, m in metrics.items():
         metric_states[k] = m.update(
             metric_states[k], pred_na.array, target_na.array, mask)
-    block(metric_states)
+        block(metric_states[k])
+        phase(f"warmup: metric {k} compiled")
     for p in plotters:
         p.update(module, batch, pred_na, target_na, mask)
+        phase(f"warmup: plotter {type(p).__name__}")
     phase("warmup done (everything compiled)")
 
     times = {"eval_step": [], "arrays": [], "metrics": [], "plotters": []}
