@@ -44,7 +44,14 @@ def _stub(name, **attrs):
 def reference():
     """Import the real reference modules, stubbing ONLY plotting/
     framework deps the exercised code paths never call (gif, cartopy,
-    tueplots figure bundles, mfai's NamedTensor type, lightning)."""
+    tueplots figure bundles, mfai's NamedTensor type, lightning).
+
+    The stubs (and the reference's own modules) are REMOVED from
+    sys.modules at teardown: a leaked cartopy stub would otherwise make
+    this repo's plotters "successfully" import a garbage projection
+    instead of taking their no-cartopy fallback path (observed as a
+    matplotlib TypeError in test_training)."""
+    saved = dict(sys.modules)
     sys.path.insert(0, str(REFERENCE))
     _stub("gif", frame=lambda f: f, save=lambda *a, **k: None)
     _stub("cartopy")
@@ -69,6 +76,11 @@ def reference():
     ns = types.SimpleNamespace(forcing=ref_forcing, access=ref_access)
     yield ns
     sys.path.remove(str(REFERENCE))
+    for name in [n for n in sys.modules if n not in saved]:
+        del sys.modules[name]
+    for name, mod in saved.items():
+        if sys.modules.get(name) is not mod:
+            sys.modules[name] = mod
 
 
 #: dates covering leap/non-leap years, year boundaries, sub-hour minutes
