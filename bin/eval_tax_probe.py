@@ -90,7 +90,7 @@ def main():
         leaves = [x for x in jax.tree_util.tree_leaves(tree)
                   if isinstance(x, jax.Array)]
         if leaves:
-            float(sum(jnp.sum(jnp.abs(x[..., :1]).astype(jnp.float32))
+            float(sum(jnp.sum(jnp.abs(jnp.ravel(x)[:1]).astype(jnp.float32))
                       for x in leaves))
 
     # ---- warmup (compiles eval_step + metric updates)

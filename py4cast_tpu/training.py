@@ -22,6 +22,7 @@ import dataclasses
 import json
 import os
 import time
+import weakref
 from dataclasses import dataclass, field
 from pathlib import Path
 from typing import Any, Callable, Dict, List, Optional, Tuple
@@ -338,6 +339,9 @@ class AutoRegressiveModule:
         self.loss.prepare(self.interior_mask_np, dataset_info, out_names)
 
         self._jit_cache: Dict[Any, Callable] = {}
+        # (weakref(batch), device outputs) from the latest eval_step —
+        # lets named_eval_arrays skip re-uploading the target batch
+        self._eval_outputs_cache = None
         self._graph_buffers: dict = {}
 
     # ------------------------------------------------------------------ setup
@@ -755,6 +759,13 @@ class AutoRegressiveModule:
 
     def eval_step(self, state, batch: ItemBatch, rng):
         inputs, forcing, outputs = self._batch_arrays(batch)
+        # keep THIS batch's device-resident targets alive so
+        # named_eval_arrays can reuse them instead of re-uploading the
+        # host batch (measured: the re-upload was over half the
+        # eval-path host tax at the 512x640 bench grid —
+        # doc/performance.md round-5). weakref identity guards against
+        # id() reuse on a freed batch object.
+        self._eval_outputs_cache = (weakref.ref(batch), outputs)
         fn = self._get_jitted("eval", batch.num_pred_steps)
         return fn(state, inputs, forcing, outputs, rng, self.step_buffers())
 
@@ -789,6 +800,26 @@ class AutoRegressiveModule:
         return state.replace(params=restored.params)
 
     # ----------------------------------------------------------- aux wiring
+    def _eval_arrays_fused(self, preds, outputs):
+        """One jitted program for the eval-array plumbing: unpad the
+        padded-lat predictions AND the device-resident targets, then
+        NaN-mask/zero-fill — replacing a host download + re-upload of
+        the full target batch plus several eager dispatches (each a
+        round-trip on a tunneled device). Retraces only when batch
+        shape changes (the padded last batch)."""
+        key = ("eval_arrays",)
+        fn = self._jit_cache.get(key)
+        if fn is None:
+
+            def arrays(preds, outputs):
+                outputs = self._unpad(outputs)
+                mask, target = self._mask_and_target(outputs)
+                return self._unpad(preds), target, mask
+
+            fn = jax.jit(arrays)
+            self._jit_cache[key] = fn
+        return fn(preds, outputs)
+
     def named_eval_arrays(self, preds, batch: ItemBatch):
         """(pred, target, mask) for plotters/metrics, as NamedArrays +
         float mask (reference: get_mask_on_nan, lightning.py:786-797).
@@ -802,6 +833,21 @@ class AutoRegressiveModule:
         allgathered to every host — callers then plot/accumulate on
         process 0 only (reference rank-zero gating: plots.py:285,539,621).
         """
+        if jax.process_count() == 1:
+            cached = getattr(self, "_eval_outputs_cache", None)
+            if cached is not None and cached[0]() is batch:
+                # fast path: targets are already on device (uploaded by
+                # eval_step for the loss) — unpad + mask + target run as
+                # ONE jitted program, no host round-trip of the batch.
+                pred_u, target, mask = self._eval_arrays_fused(
+                    preds, cached[1]
+                )
+                nv = batch.num_valid if batch.num_valid else pred_u.shape[0]
+                return (
+                    self._named(pred_u[:nv]),
+                    self._named(target[:nv]),
+                    mask[:nv],
+                )
         preds = self._unpad(preds)  # plotters/metrics see the real grid
         outputs_np = np.asarray(batch.outputs.array, np.float32)
         if jax.process_count() > 1:
@@ -1165,6 +1211,7 @@ class Trainer:
                             metric_states[k] = m.update(
                                 metric_states[k], pred_na.array, target_na.array, mask
                             )
+                module._eval_outputs_cache = None  # free the device targets
                 val_loss = (
                     float(np.concatenate(vrows, axis=0).mean())
                     if vrows
@@ -1383,6 +1430,7 @@ class Trainer:
                     metric_states[k] = m.update(
                         metric_states[k], pred_na.array, target_na.array, mask
                     )
+        module._eval_outputs_cache = None  # free the device targets
         if not per_sample_rows:
             return {}
         # sample-weighted mean: every real sample counts once, padded

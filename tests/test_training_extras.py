@@ -151,3 +151,49 @@ def test_feature_contract_mismatch_raises():
     object.__setattr__(batch.outputs, "feature_names", ("bogus_a", "bogus_b", "bogus_c"))
     with pytest.raises(ValueError, match="contract"):
         m.predict_step(state, batch, jax.random.key(0))
+
+
+def test_named_eval_arrays_fast_path_matches_host_path():
+    """The on-device eval-arrays fast path (reuse of eval_step's
+    device-resident targets, VERDICT r4 #9) must produce bit-identical
+    pred/target/mask to the host re-upload path — including NaN
+    masking."""
+    m = _module(mask_on_nan=True, training_strategy="diff_ar")
+    state = m.init_state(jax.random.key(0), 2)
+    batch = synthetic_batch(INFO, batch_size=3, num_pred_steps=2)
+    # inject NaNs so the mask is non-trivial
+    arr = np.asarray(batch.outputs.array, np.float32).copy()
+    arr[0, 0, 5:8, 5:8, 1] = np.nan
+    object.__setattr__(batch.outputs, "array", arr)
+
+    preds, _ = m.eval_step(state, batch, jax.random.key(1))
+    assert m._eval_outputs_cache is not None
+    assert m._eval_outputs_cache[0]() is batch
+    p_fast, t_fast, mask_fast = m.named_eval_arrays(preds, batch)
+    assert ("eval_arrays",) in m._jit_cache  # fast path engaged
+
+    m._eval_outputs_cache = None  # force the host path
+    p_host, t_host, mask_host = m.named_eval_arrays(preds, batch)
+
+    np.testing.assert_array_equal(
+        np.asarray(p_fast.array), np.asarray(p_host.array))
+    np.testing.assert_array_equal(
+        np.asarray(t_fast.array), np.asarray(t_host.array))
+    np.testing.assert_array_equal(
+        np.asarray(mask_fast), np.asarray(mask_host))
+    # the injected NaNs are masked out and zero-filled
+    assert float(np.asarray(mask_fast).min()) == 0.0
+    assert np.isfinite(np.asarray(t_fast.array)).all()
+
+
+def test_eval_outputs_cache_ignores_stale_batch():
+    """A DIFFERENT batch object must not hit the cached targets."""
+    m = _module()
+    state = m.init_state(jax.random.key(0), 2)
+    b1 = synthetic_batch(INFO, batch_size=2, num_pred_steps=1)
+    b2 = synthetic_batch(INFO, batch_size=2, num_pred_steps=1, seed=7)
+    preds, _ = m.eval_step(state, b1, jax.random.key(1))
+    # asking for b2's arrays must fall back to b2's host data, not b1's
+    _, t2, _ = m.named_eval_arrays(preds, b2)
+    expect = np.asarray(b2.outputs.array, np.float32)
+    np.testing.assert_array_equal(np.asarray(t2.array), expect)
