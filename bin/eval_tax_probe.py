@@ -89,8 +89,12 @@ def main():
 
         leaves = [x for x in jax.tree_util.tree_leaves(tree)
                   if isinstance(x, jax.Array)]
+        # one THIN scalar read per leaf (an index, not a reshape) and a
+        # single blocking transfer for the whole tree — the dispatches
+        # are async, so the barrier costs ~one tunnel round-trip total
         if leaves:
-            float(sum(jnp.sum(jnp.abs(jnp.ravel(x)[:1]).astype(jnp.float32))
+            float(sum((x if x.ndim == 0 else x[(0,) * x.ndim])
+                      .astype(jnp.float32)
                       for x in leaves))
 
     # ---- warmup (compiles eval_step + metric updates)

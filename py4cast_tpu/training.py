@@ -764,8 +764,11 @@ class AutoRegressiveModule:
         # host batch (measured: the re-upload was over half the
         # eval-path host tax at the 512x640 bench grid —
         # doc/performance.md round-5). weakref identity guards against
-        # id() reuse on a freed batch object.
-        self._eval_outputs_cache = (weakref.ref(batch), outputs)
+        # id() reuse on a freed batch object. Single-process only: the
+        # multi-host path always re-gathers, so pinning the sharded
+        # targets there would hold HBM for nothing.
+        if jax.process_count() == 1:
+            self._eval_outputs_cache = (weakref.ref(batch), outputs)
         fn = self._get_jitted("eval", batch.num_pred_steps)
         return fn(state, inputs, forcing, outputs, rng, self.step_buffers())
 
@@ -834,15 +837,19 @@ class AutoRegressiveModule:
         process 0 only (reference rank-zero gating: plots.py:285,539,621).
         """
         if jax.process_count() == 1:
-            cached = getattr(self, "_eval_outputs_cache", None)
+            cached = self._eval_outputs_cache
             if cached is not None and cached[0]() is batch:
                 # fast path: targets are already on device (uploaded by
                 # eval_step for the loss) — unpad + mask + target run as
                 # ONE jitted program, no host round-trip of the batch.
+                # Assumes the batch was not mutated since eval_step (the
+                # identity check can't see content changes); consumed
+                # once so the device targets don't outlive the batch.
+                self._eval_outputs_cache = None
                 pred_u, target, mask = self._eval_arrays_fused(
                     preds, cached[1]
                 )
-                nv = batch.num_valid if batch.num_valid else pred_u.shape[0]
+                nv = batch.valid_count
                 return (
                     self._named(pred_u[:nv]),
                     self._named(target[:nv]),
