@@ -88,7 +88,7 @@ def main():
         import jax.numpy as jnp
 
         leaves = [x for x in jax.tree_util.tree_leaves(tree)
-                  if isinstance(x, jax.Array)]
+                  if isinstance(x, jax.Array) and x.size]
         # one THIN scalar read per leaf (an index, not a reshape) and a
         # single blocking transfer for the whole tree — the dispatches
         # are async, so the barrier costs ~one tunnel round-trip total

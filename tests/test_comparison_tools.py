@@ -9,13 +9,19 @@ from pathlib import Path
 
 import pytest
 
+# import the tools with bin/ on the path only transiently, so generic
+# bin/ script names (main.py, ...) can't shadow later imports in the
+# same pytest session
 BIN = Path(__file__).resolve().parent.parent / "bin"
 sys.path.insert(0, str(BIN))
+try:
+    import gif_comparison
+    import scores_comparison
+finally:
+    sys.path.remove(str(BIN))
 
 
 def test_scores_comparison_plots_multiple_runs(tmp_path):
-    import scores_comparison
-
     runs = []
     for name, vals in [("runA", (1.0, 0.9, 0.8)), ("runB", (1.2, 1.0, 0.7))]:
         d = tmp_path / name
@@ -36,8 +42,6 @@ def test_scores_comparison_plots_multiple_runs(tmp_path):
 
 
 def test_scores_comparison_label_mismatch_errors(tmp_path):
-    import scores_comparison
-
     f = tmp_path / "Test_rmse_scores.json"
     f.write_text(json.dumps({"v": [1.0]}))
     with pytest.raises(SystemExit, match="labels"):
@@ -47,8 +51,6 @@ def test_scores_comparison_label_mismatch_errors(tmp_path):
 def test_gif_comparison_from_trained_checkpoints(tmp_path):
     """Train one tiny checkpoint on dummy, then render the side-by-side
     case-study GIFs from its manifest — the full tool path."""
-    import gif_comparison
-
     from py4cast_tpu.datasets import get_datasets
     from py4cast_tpu.training import (
         AutoRegressiveModule,

@@ -51,11 +51,17 @@ def test_tensorboard_logger_writes_events(tmp_path):
     assert list(tmp_path.glob("events.out.tfevents.*"))
 
 
-def test_default_loggers_degrade_without_optional_deps(tmp_path):
-    # mlflow is not installed in this image: requesting it must degrade
-    # silently to the always-available loggers, never raise
+def test_default_loggers_degrade_without_optional_deps(tmp_path, monkeypatch):
+    # simulate an absent mlflow regardless of the environment (a None
+    # sys.modules entry makes `import mlflow` raise ImportError):
+    # requesting it must degrade silently to the always-available
+    # loggers, never raise
+    import sys
+
+    monkeypatch.setitem(sys.modules, "mlflow", None)
     loggers = default_loggers(tmp_path, tensorboard=True, mlflow=True)
     kinds = {type(lg).__name__ for lg in loggers}
     assert "CSVLogger" in kinds
+    assert "MLFlowLogger" not in kinds
     for lg in loggers:
         lg.close()
