@@ -197,3 +197,42 @@ def test_eval_outputs_cache_ignores_stale_batch():
     _, t2, _ = m.named_eval_arrays(preds, b2)
     expect = np.asarray(b2.outputs.array, np.float32)
     np.testing.assert_array_equal(np.asarray(t2.array), expect)
+
+
+def test_named_eval_arrays_fast_path_graph_model_with_lat_pad():
+    """Fast path through the GNN branch: flattened (B, T, ngrid, F)
+    device targets, padded-lat unpad inside the fused program."""
+    from py4cast_tpu.parallel.mesh import MeshConfig, make_mesh
+
+    info = synthetic_dataset_info(
+        grid_shape=(9, 12), weather_features=2, forcing_features=5,
+        border_size=2,
+    )
+    m = AutoRegressiveModule(
+        TrainingSettings(
+            model_name="HiLAM",
+            settings_init_args={"hidden_dims": 4, "mesh_levels": 2,
+                                "processor_layers": 1},
+            num_warmup_steps=2,
+            num_input_steps=2,
+        ),
+        info,
+        mesh=make_mesh(MeshConfig(data_parallel=1), jax.devices()[:1]),
+        lat_multiple=2,  # 9 -> padded to 10: unpad slices ngrid back
+    )
+    assert m._lat_pad == 1
+    state = m.init_state(jax.random.key(0), 2)
+    batch = synthetic_batch(info, batch_size=2, num_pred_steps=2)
+
+    preds, _ = m.eval_step(state, batch, jax.random.key(1))
+    p_fast, t_fast, mask_fast = m.named_eval_arrays(preds, batch)
+    assert m._eval_outputs_cache is None  # consumed
+
+    p_host, t_host, mask_host = m.named_eval_arrays(preds, batch)  # host path
+    assert p_fast.array.shape == (2, 2, 9 * 12, 2)  # original ngrid
+    np.testing.assert_array_equal(
+        np.asarray(p_fast.array), np.asarray(p_host.array))
+    np.testing.assert_array_equal(
+        np.asarray(t_fast.array), np.asarray(t_host.array))
+    np.testing.assert_array_equal(
+        np.asarray(mask_fast), np.asarray(mask_host))
